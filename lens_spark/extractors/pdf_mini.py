@@ -1,0 +1,150 @@
+"""Minimal PDF text-layer extraction.
+
+The reference pulls the text layer per page with MuPDF (go-fitz
+``doc.Text(i)``, analyzer/ocr/ocr.go:66-74) and falls back to
+render-page→OCR when a page's text layer is ≤ 10 chars (ocr.go:41,71,78-96).
+
+In this environment no PDF library is installed, so extraction is gated:
+
+1. if ``pypdfium2`` is importable, use it (production path on a real
+   cluster image);
+2. otherwise fall back to :func:`parse_pdf_mini`, a from-scratch parser for
+   the uncompressed-content-stream subset of PDF that our deterministic
+   fixture corpus emits (``lens_spark.corpus.make_pdf``). It resolves the
+   page tree (Catalog → Pages → Kids order), pulls ``Tj``/``TJ`` text
+   runs per page, and surfaces each page's image XObject bytes for the
+   OCR fallback.
+
+Either way the *semantics* applied by the caller are the reference's:
+threshold-10 text-vs-OCR choice and the ``" " + page`` join (ocr.go:71-94).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+class PdfError(Exception):
+    """Raised when a document cannot be parsed — the caller converts this
+    into a quarantine row (the reference errors the whole RPC,
+    ocr.go:59,84,92; a Spark job must not die per bad row)."""
+
+
+@dataclass
+class PdfPage:
+    text: str = ""
+    image: bytes | None = None  # page image XObject (OCR fallback input)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"/%s\s+(\d+)\s+\d+\s+R")
+_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\[\]\\]|\\.)*\]\s*TJ")
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i:i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < min(i + 4, len(raw)) and raw[j:j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1:j], 8) & 0xFF)
+                i = j
+                continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def parse_pdf_mini(content: bytes) -> list[PdfPage]:
+    """Parse the fixture-subset of PDF into ordered pages."""
+    if not content.startswith(b"%PDF-"):
+        raise PdfError("failed to analyze PDF")  # ocr.go:59
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(content):
+        objs[int(m.group(1))] = m.group(2)
+
+    pages_obj = None
+    for body in objs.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            ref = _ref(body, b"Pages")
+            if ref is not None:
+                pages_obj = objs.get(ref)
+            break
+    if pages_obj is None:
+        raise PdfError("failed to analyze PDF")  # ocr.go:59
+
+    kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_obj, re.S)
+    if not kids_m:
+        raise PdfError("failed to analyze PDF")  # ocr.go:59
+    kid_ids = [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1))]
+
+    pages: list[PdfPage] = []
+    for kid in kid_ids:
+        body = objs.get(kid)
+        if body is None:
+            raise PdfError("failed to analyze PDF")  # ocr.go:59
+        page = PdfPage()
+        cref = _ref(body, b"Contents")
+        if cref is not None and cref in objs:
+            sm = _STREAM_RE.search(objs[cref])
+            if sm:
+                page.text = _extract_text_runs(sm.group(1))
+        # page image XObject (the scanned-page payload for OCR fallback)
+        xm = re.search(rb"/XObject\s*<<\s*/\w+\s+(\d+)\s+\d+\s+R", body)
+        if xm and int(xm.group(1)) in objs:
+            im = _STREAM_RE.search(objs[int(xm.group(1))])
+            if im:
+                page.image = im.group(1)
+        pages.append(page)
+    return pages
+
+
+def _extract_text_runs(stream: bytes) -> str:
+    """Pull text-showing operators (Tj / TJ) from a content stream.
+
+    Runs are joined with newlines, approximating a text-layer reader's
+    per-line output. The fixture corpus emits one Tj per visual line, so
+    this is exact for our goldens.
+    """
+    runs: list[str] = []
+    for m in _TJ_RE.finditer(stream):
+        for sm in _STR_RE.finditer(m.group(0)):
+            runs.append(_unescape(sm.group(0)[1:-1]).decode("latin-1"))
+    return "\n".join(runs)
+
+
+def pdf_pages(content: bytes) -> list[PdfPage]:
+    """Gated entry: real library if present, else the mini parser."""
+    try:  # pragma: no cover - not installed in this sandbox
+        import pypdfium2 as pdfium
+
+        doc = pdfium.PdfDocument(content)
+        out = []
+        for p in doc:
+            tp = p.get_textpage()
+            out.append(PdfPage(text=tp.get_text_bounded()))
+        return out
+    except ImportError:
+        return parse_pdf_mini(content)

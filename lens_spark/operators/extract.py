@@ -1,0 +1,203 @@
+"""Type dispatch + per-kind extraction (reference v2_util.go:58-96).
+
+Branch layout over the exploded/sniffed span relation (one shared
+exchange, filters above it):
+
+- **media**      → column-only passthrough (north_star E13): text NULL,
+                   stable media_ref.
+- **text/plain** (textual-stored) → column-only identity projection
+                   (reference `content = string(contents)`, v2_util.go:74-75).
+- **text/html**  → HTML main-content sub-pipeline (operators/html_ops.py).
+- **application/pdf**, **image/***, plus binary-stored payloads sniffing
+  as text → ONE Arrow-batched ``mapInPandas`` (this module): PDF
+  text-layer with threshold-10 OCR fallback and the ``" " + page`` join
+  (reference ocr.go:41-94); image OCR with classifier-keyword fallback and
+  keyword→tags (reference v2_util.go:78-92).
+- anything else → quarantine row ("unsupported content type for
+  indexing", reference v2_util.go:94 — per-row, never job failure).
+
+The UDF is iterator-of-DataFrames so one Python worker amortizes library
+setup across batches, and re-chunks each incoming Arrow batch by
+cumulative payload bytes (cfg.max_batch_bytes) so a batch of 4-MB PDFs
+can't blow executor memory even if Arrow handed us 4096 rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    IntegerType, StringType, StructField, StructType,
+)
+
+from lens_spark.config import ExtractConfig, DEFAULT
+from lens_spark.extractors.ocr_stub import OcrError, classify_image, ocr_image
+from lens_spark.extractors.pdf_mini import PdfError, pdf_pages
+
+# normalized branch-output schema (pre-union, pre-reassembly)
+SPAN_OUT = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("kind", StringType()),       # detected branch
+        StructField("text", StringType()),       # extracted content
+        StructField("media_ref", StringType()),
+        StructField("mime", StringType()),       # full sniffed type
+        StructField("keyword", StringType()),    # image classifier keyword
+        StructField("error", StringType()),      # non-null ⇒ quarantine
+    ]
+)
+
+ERR_UNSUPPORTED = "unsupported content type for indexing"  # v2_util.go:94
+ERR_NO_CONTENT = "failed to find content"                  # v2_util.go:40
+ERR_IMAGE_CLASSIFY = "failed to categorize image"          # v2_util.go:81
+
+
+def _extract_pdf(payload: bytes, cfg: ExtractConfig) -> str:
+    """Reference pdfToText semantics (ocr.go:47-105): per page take the
+    text layer iff len > threshold, else OCR the page image; every
+    accepted piece is appended as `" " + piece`."""
+    if not payload:
+        raise PdfError("invalid asset provided")  # ocr.go:35-37
+    text = ""
+    for i, page in enumerate(pdf_pages(payload)):
+        if len(page.text) > cfg.pdf_text_threshold:
+            text += cfg.page_join_prefix + page.text
+            continue
+        if page.image is not None:
+            try:
+                ocr = ocr_image(page.image)
+            except OcrError:
+                # reference aborts the whole doc on a page OCR failure
+                # (ocr.go:89-92)
+                raise PdfError(f"failed to analyze page {i} of document")
+            if ocr != "":
+                text += cfg.page_join_prefix + ocr
+    return text
+
+
+def _extract_image(payload: bytes) -> tuple[str, str]:
+    """Reference image path (v2_util.go:76-92): classifier keyword is
+    mandatory (its failure errors the doc); OCR text is the content with
+    keyword fallback; keyword is appended to tags."""
+    keyword = classify_image(payload)  # raises OcrError → quarantine
+    try:
+        content = ocr_image(payload)
+    except OcrError:
+        content = keyword
+    return content, keyword
+
+
+def _rebatch(pdf: pd.DataFrame, max_bytes: int) -> Iterator[pd.DataFrame]:
+    """Split an Arrow batch so cumulative payload bytes stay bounded."""
+    sizes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+    if sizes.sum() <= max_bytes or len(pdf) <= 1:
+        yield pdf
+        return
+    start, acc = 0, 0
+    for i, n in enumerate(sizes):
+        if acc + n > max_bytes and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += int(n)
+    yield pdf.iloc[start:]
+
+
+def make_extract_udf(cfg: ExtractConfig = DEFAULT):
+    def extract_batches(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for arrow_batch in it:
+            for pdf_batch in _rebatch(arrow_batch, cfg.max_batch_bytes):
+                yield _extract_one(pdf_batch, cfg)
+
+    return extract_batches
+
+
+def _extract_one(b: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    out: dict[str, list[Any]] = {k: [] for k in
+                                 ("kind", "text", "keyword", "error")}
+    for payload, parsed, family, kind_hint in zip(
+        b["payload"], b["parsed"], b["family"], b["kind_hint"]
+    ):
+        kind, text, keyword, error = None, None, None, None
+        try:
+            if payload is None:
+                error = ERR_NO_CONTENT
+            elif parsed == "application/pdf":
+                kind = "pdf"
+                text = _extract_pdf(bytes(payload), cfg)
+            elif family == "image":
+                kind = "image"
+                text, keyword = _extract_image(bytes(payload))
+            elif family == "text":
+                # binary-stored payload that sniffs as text: Go
+                # string(contents) is raw bytes — latin-1 is the lossless
+                # Python analogue (v2_util.go:74-75)
+                kind = "text"
+                text = bytes(payload).decode("utf-8", errors="replace")
+            else:
+                error = ERR_UNSUPPORTED
+        except PdfError as e:
+            kind, text, error = None, None, str(e) or "failed to analyze PDF"
+        except OcrError:
+            kind, text, error = None, None, ERR_IMAGE_CLASSIFY
+        if error is not None:
+            kind = kind_hint  # quarantine rows report the declared kind
+        out["kind"].append(kind)
+        out["text"].append(text)
+        out["keyword"].append(keyword)
+        out["error"].append(error)
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"].values,
+            "offset": b["offset"].values,
+            "kind": out["kind"],
+            "text": out["text"],
+            "media_ref": b["media_ref"].values,
+            "mime": b["mime"].values,
+            "keyword": out["keyword"],
+            "error": out["error"],
+        }
+    )
+
+
+def dispatch(exploded: DataFrame, cfg: ExtractConfig = DEFAULT) -> dict:
+    """Split the exploded relation into branch DataFrames.
+
+    Returns dict of branch name → DataFrame (column sets differ; the
+    pipeline normalizes each to SPAN_OUT)."""
+    is_media = F.col("kind") == "media"
+    is_html = F.col("parsed") == "text/html"
+    is_plain_text = (
+        (F.col("family") == "text")
+        & ~is_html
+        & F.col("kind").isin("text", "html")  # textual-stored: zero-copy
+    )
+    needs_udf = (
+        F.col("payload").isNull()
+        | (F.col("parsed") == "application/pdf")
+        | (F.col("family") == "image")
+        | ((F.col("family") == "text") & ~is_html
+           & ~F.col("kind").isin("text", "html"))
+        | (~F.col("family").isin("text", "image")
+           & (F.col("parsed") != "application/pdf"))
+    ) & ~is_media
+
+    return {
+        "media": exploded.filter(is_media),
+        "text": exploded.filter(~is_media & is_plain_text),
+        "html": exploded.filter(~is_media & is_html),
+        "udf": exploded.filter(needs_udf),
+    }
+
+
+def run_extract_udf(branch: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
+    cols = ["doc_id", "offset", "payload", "parsed", "family",
+            "media_ref", "mime", F.col("kind").alias("kind_hint")]
+    return branch.select(*cols).mapInPandas(
+        make_extract_udf(cfg), schema=SPAN_OUT
+    )

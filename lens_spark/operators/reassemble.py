@@ -1,0 +1,86 @@
+"""Ordered span reassembly (north_star: "reassembled with a
+window-ordered collect_list keyed on original span offset").
+
+``collect_list`` alone is order-nondeterministic, so the gather is
+``array_sort(collect_list(struct(order, ...)))`` — struct comparison sorts
+by the leading ``order`` field (== original offset, unique per doc), which
+is the deterministic equivalent of the window formulation with one shuffle
+and no row_number filter. Doc-level metadata is derived in the same single
+aggregation:
+
+- mime_type / category: the first payload span by offset (reference
+  indexes ONE blob per hash, v2_util.go:98-103; in the interleaved model
+  the earliest payload span plays that role), defaulted to 'unknown'
+  exactly like the engine does at index time (engine/engine.go:130-137).
+- tags: image classifier keywords in offset order (reference appends the
+  keyword per image, v2_util.go:92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lens_spark.functions.mime import category_for
+
+
+def assemble(good_spans: DataFrame, docs: DataFrame) -> DataFrame:
+    """good_spans: SPAN_OUT rows with error IS NULL.
+    docs: original documents table (doc_id [, display_name])."""
+    agg = good_spans.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("offset").alias("order"),
+                        F.col("kind"),
+                        F.col("text"),
+                        F.col("media_ref"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s.kind.alias("kind"),
+                s.text.alias("text"),
+                s.media_ref.alias("media_ref"),
+                s.order.alias("order"),
+            ),
+        ).alias("spans"),
+        F.min(
+            F.when(F.col("mime").isNotNull(),
+                   F.struct(F.col("offset"), F.col("mime")))
+        )["mime"].alias("mime_type"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("keyword").isNotNull(),
+                           F.struct(F.col("offset"), F.col("keyword")))
+                )
+            ),
+            lambda s: s.keyword,
+        ).alias("tags"),
+    )
+
+    base_cols = ["doc_id"]
+    if "display_name" in docs.columns:
+        base_cols.append("display_name")
+    base = docs.select(*base_cols)
+    out = base.join(agg, "doc_id", "left")
+
+    if "display_name" not in out.columns:
+        out = out.withColumn("display_name", F.lit(None).cast("string"))
+
+    return out.select(
+        "doc_id",
+        F.coalesce(
+            "spans",
+            F.array().cast(
+                "array<struct<kind:string,text:string,"
+                "media_ref:string,order:int>>"
+            ),
+        ).alias("spans"),
+        # index-time defaulting: engine/engine.go:130-137
+        F.coalesce("mime_type", F.lit("unknown")).alias("mime_type"),
+        category_for(F.col("mime_type")).alias("category"),
+        F.coalesce("tags", F.array().cast("array<string>")).alias("tags"),
+        "display_name",
+    )
