@@ -1,0 +1,96 @@
+"""Checkpoint / lineage / exact resume.
+
+north_rule: "every partition writes lineage rows (input snapshot id,
+partition id, row counts, extractor version) and metrics to a checkpoint
+table enabling exact resume after failure."
+
+Reference analogs:
+- already-indexed guard / IsIndexed point probe (v2_util.go:23-25,
+  engine/engine.go:160-169) → **left-anti join** against the output
+  table's keys — set semantics, never per-row lookups (M4/E15).
+- Reindex bypass (engine.go:124-126) → ``reindex=True`` skips the guard;
+  the MERGE makes the rewrite last-write-wins (M5).
+
+Resume contract: extraction is idempotent per doc_id. After a failure
+mid-write, rerunning with ``filter_pending`` extracts only doc_ids absent
+from the output table; the MERGE'd union equals a clean full run (no
+dupes, no gaps) — tests/test_resume.py kills a run halfway and proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lens_spark.config import ExtractConfig, DEFAULT
+
+
+def filter_pending(
+    docs: DataFrame,
+    done: DataFrame | None,
+    reindex: bool = False,
+) -> DataFrame:
+    """Drop documents already present in the output table (E15/M4).
+
+    ``done``: the current output table (or None when it doesn't exist).
+    ``reindex=True`` bypasses the guard (engine.go:124-126)."""
+    if done is None or reindex:
+        return docs
+    return docs.join(done.select("doc_id"), "doc_id", "left_anti")
+
+
+def lineage_rows(
+    extracted: DataFrame,
+    input_snapshot_id: str,
+    cfg: ExtractConfig = DEFAULT,
+    status: str = "committed",
+) -> DataFrame:
+    """Per-partition lineage/metrics (schema.LINEAGE)."""
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.size("spans")).alias("span_count"),
+        )
+        .select(
+            F.lit(input_snapshot_id).alias("input_snapshot_id"),
+            "partition_id",
+            "doc_count",
+            "span_count",
+            F.lit(cfg.extractor_version).alias("extractor_version"),
+            F.lit(status).alias("status"),
+            F.current_timestamp().alias("extracted_at"),
+        )
+    )
+
+
+def run_resumable(
+    spark,
+    docs: DataFrame,
+    out_table,
+    checkpoint_table,
+    input_snapshot_id: str,
+    cfg: ExtractConfig = DEFAULT,
+    reindex: bool = False,
+):
+    """One resumable extraction increment:
+
+    pending = docs ⟕̸ out_table  →  extract  →  MERGE into out_table
+    → append lineage to checkpoint_table.
+
+    Returns the number of documents extracted in this increment."""
+    from lens_spark.pipeline import extract
+
+    done = out_table.read(spark)
+    pending = filter_pending(docs, done, reindex=reindex)
+    if pending.isEmpty():
+        return 0
+    res = extract(pending, cfg)
+    result = res.extracted.cache()
+    n = result.count()
+    out_table.merge_upsert(result, "doc_id")
+    checkpoint_table.append(
+        lineage_rows(result, input_snapshot_id, cfg)
+    )
+    result.unpersist()
+    return n

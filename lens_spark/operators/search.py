@@ -1,0 +1,236 @@
+"""Search tier — DataFrame layer over the extracted table.
+
+Reimplements the reference's query semantics (engine/query.go:36-102,
+engine/engine.go:172-214) as Catalyst expressions:
+
+- **Conjunction** (Q1): every provided clause must match — boolean columns
+  AND-folded (query.NewConjunctionQuery, query.go:37).
+- **Match-phrase on content** (Q2): tokenized-adjacency match of the query
+  phrase against the content token stream (bleve MatchPhrase, query.go:42-46).
+- **Required terms** (Q3): each required string split on spaces, tokens of
+  length ≤1 dropped, lowercased, matched as ONE should-group (any-of) with
+  boost ×100 (query.go:49-53, 82-102).
+- **Tags / Categories / MimeTypes** (Q4): exact (case-insensitive,
+  trimmed) membership — the *intended* semantics of the reference's test
+  matrix (engine_test.go:151-229: category 'amazing startup' matches,
+  'amazing' alone must not; note the negative cases in that test are
+  weakly asserted, engine_test.go:240-251 — we implement the intent).
+- **DocID filter** (Q5): filter-only, must combine with other clauses
+  (query.go:25-26).
+- **Tokenizer** (Q6): split on spaces, drop len ≤ 1, lowercase
+  (query.go:80-99).
+- **Top-k + score** (Q7): tf-idf-style scoring, `orderBy desc limit 1000`
+  (engine.go:175-205). Scores are deterministic but not bit-compatible
+  with bleve's; ordering among equal scores is doc_id for stability.
+- **Projection** (Q8): all metadata fields except content
+  (engine.go:177, index.go:20-26).
+- **Empty result** (Q9): caller checks; `search()` mirrors the engine by
+  raising ``NoResultsError`` ("no results found", engine.go:203-205).
+
+Content for a document = concatenation of its extracted span texts in
+order (the interleaved-model analogue of the single content string the
+reference indexes, engine/engine.go:144-150).
+
+Scale: every clause is a Catalyst expression over one scan — predicate
+pushdown applies to category/mime equality; the top-k is
+TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lens_spark.config import SearchConfig, DEFAULT_SEARCH
+
+
+class NoResultsError(Exception):
+    """reference engine.go:203-205"""
+
+
+class EmptyQueryError(Exception):
+    """reference v2.go:150-158: reject if no query and no options"""
+
+
+@dataclass
+class Query:
+    """reference engine/query.go:15-27"""
+
+    text: str = ""
+    required: list = field(default_factory=list)
+    tags: list = field(default_factory=list)
+    categories: list = field(default_factory=list)
+    mime_types: list = field(default_factory=list)
+    hashes: list = field(default_factory=list)
+
+    def is_empty(self) -> bool:
+        return not (
+            self.text or self.required or self.tags or self.categories
+            or self.mime_types or self.hashes
+        )
+
+
+def tokenize(col: Column) -> Column:
+    """Q6 (query.go:80-99): split on ' ', drop len<=1, lowercase.
+    This is the QUERY-side term builder (the reference applies it when
+    constructing term queries)."""
+    return F.filter(
+        F.split(F.lower(col), " "), lambda t: F.length(t) > 1
+    )
+
+
+def analyze(col: Column) -> Column:
+    """CONTENT-side analyzer — the DataFrame analogue of bleve's standard
+    analyzer used at index time (unicode word tokenizer + lowercase;
+    engine/index.go:44 default text mapping): split on any run of
+    non-alphanumerics, drop empties. (Divergence: bleve also removes
+    English stop words; we keep them — scores differ, match/no-match on
+    the reference test matrix does not.)"""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
+    )
+
+
+def _analyze_py(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.split(r"[^0-9a-zA-Z]+", text.lower()) if t]
+
+
+def doc_content(extracted: DataFrame) -> DataFrame:
+    """Flatten extracted spans into one content string per doc (offset
+    order is already materialized in the spans array)."""
+    return extracted.withColumn(
+        "content",
+        F.array_join(
+            F.transform(F.col("spans"), lambda s: F.coalesce(s.text, F.lit(""))),
+            " ",
+        ),
+    )
+
+
+def _phrase_clause(tokens_col: Column, phrase: str) -> Column:
+    """Tokenized-adjacency phrase match. The query phrase is normalized
+    with the same tokenizer; a doc matches when its token stream contains
+    the query tokens consecutively."""
+    q = _analyze_py(phrase)
+    if not q:
+        return F.lit(True)
+    qarr = F.array(*[F.lit(t) for t in q])
+    n = len(q)
+    # exists i in [1, len-n+1]: slice(tokens, i, n) == qarr
+    # (sequence() descends when start > stop, so clamp and pre-guard)
+    return (F.size(tokens_col) >= n) & F.exists(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - n + 1, F.lit(1))),
+        lambda i: F.slice(tokens_col, i, n) == qarr,
+    )
+
+
+def _required_terms(required: list[str]) -> list[str]:
+    """query.go:82-102: multi-word strings split on spaces (len>1 kept),
+    single strings trimmed (len>1 kept); all lowercased into one
+    should-group."""
+    terms: list[str] = []
+    for s in required:
+        parts = s.split()
+        if len(parts) > 1:
+            terms.extend(p.lower() for p in parts if len(p) > 1)
+        else:
+            stripped = s.strip()
+            if len(stripped) > 1:
+                terms.append(stripped.lower())
+    return terms
+
+
+def _exact_in(col: Column, values: list[str]) -> Column:
+    lowered = [v.strip().lower() for v in values]
+    return F.lower(F.trim(col)).isin(lowered)
+
+
+def search(
+    extracted: DataFrame,
+    q: Query,
+    cfg: SearchConfig = DEFAULT_SEARCH,
+) -> DataFrame:
+    """Run a query; returns (doc_id, display_name, mime_type, category,
+    tags, score) top-k by score (Q7/Q8)."""
+    if q.is_empty():
+        raise EmptyQueryError(
+            "no query or search options provided"  # v2.go:150-158
+        )
+
+    df = doc_content(extracted).withColumn(
+        "tokens", analyze(F.col("content"))
+    )
+
+    clauses: list[Column] = []
+    score: Column = F.lit(0.0)
+
+    if q.text:
+        clauses.append(_phrase_clause(F.col("tokens"), q.text))
+        qtoks = _analyze_py(q.text)
+        if qtoks:
+            qarr = F.array(*[F.lit(t) for t in qtoks])
+            score = score + F.size(
+                F.filter(F.col("tokens"), lambda t: F.array_contains(qarr, t))
+            ) / F.greatest(F.size("tokens"), F.lit(1))
+
+    terms = _required_terms(q.required)
+    if q.required:
+        if terms:
+            tarr = F.array(*[F.lit(t) for t in terms])
+            hits = F.size(
+                F.filter(F.col("tokens"), lambda t: F.array_contains(tarr, t))
+            )
+            clauses.append(hits > 0)
+            # boost ×100 (query.go:52)
+            score = score + cfg.required_boost * hits / F.greatest(
+                F.size("tokens"), F.lit(1)
+            )
+        else:
+            # required strings that normalize to nothing (e.g. "   ")
+            # build an empty should-group in the reference, which can
+            # never match (bleve boolean query with no clauses)
+            clauses.append(F.lit(False))
+
+    if q.tags:
+        clauses.append(
+            F.exists(
+                F.col("tags"),
+                lambda t: _exact_in(t, q.tags),
+            )
+        )
+    if q.categories:
+        clauses.append(_exact_in(F.col("category"), q.categories))
+    if q.mime_types:
+        clauses.append(_exact_in(F.col("mime_type"), q.mime_types))
+    if q.hashes:
+        clauses.append(F.col("doc_id").isin(list(q.hashes)))
+
+    cond = clauses[0]
+    for c in clauses[1:]:
+        cond = cond & c
+
+    return (
+        df.filter(cond)
+        .select(
+            "doc_id",
+            "display_name",
+            "mime_type",
+            "category",
+            "tags",
+            score.cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(cfg.top_k)
+    )
+
+
+def search_or_raise(extracted: DataFrame, q: Query,
+                    cfg: SearchConfig = DEFAULT_SEARCH):
+    """Engine-faithful wrapper: 0 hits ⇒ error (engine.go:203-205)."""
+    rows = search(extracted, q, cfg).collect()
+    if not rows:
+        raise NoResultsError("no results found")
+    return rows

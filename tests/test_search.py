@@ -1,0 +1,115 @@
+"""Search-tier behavioral spec: the reference's 14-case query matrix
+(engine/engine_test.go:151-229) over an indexed test object, plus the
+empty-query / no-results / remove semantics (v2.go, engine.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.operators.search import (
+    EmptyQueryError, NoResultsError, Query, search, search_or_raise, tokenize,
+)
+from lens_spark.schema import EXTRACTED
+
+TEST_CONTENT = (
+    "You are currently using an enterprise storage solution powered by\n"
+    "\t\t\tTemporal, an API built for the Interplanetary File System. This platform\n"
+    "\t\t\tshowcases the outstanding features that decentralized storage technologies\n"
+    "\t\t\tcan offer you."
+)
+
+
+@pytest.fixture(scope="module")
+def indexed(spark):
+    # the analogue of the indexed testObj (engine_test.go:115-129)
+    rows = [
+        (
+            "abcde",
+            [("text", TEST_CONTENT, None, 1)],
+            "text",
+            "amazing startup",
+            ["test", "object"],
+            "my test object!",
+        ),
+        (
+            "other",
+            [("text", "completely unrelated words here", None, 1)],
+            "application/pdf",
+            "pdf",
+            ["misc"],
+            "other doc",
+        ),
+    ]
+    return spark.createDataFrame(rows, schema=EXTRACTED)
+
+
+# the 14-case matrix: (name, query, want_hit)
+MATRIX = [
+    ("hash filter ok",
+     Query(text="Interplanetary File System", hashes=["abcde"]), True),
+    ("hash filter wrong",
+     Query(text="Interplanetary File System", hashes=["not_my_hash"]), False),
+    ("subtext", Query(text="Interplanetary File System"), True),
+    ("exact text", Query(text=TEST_CONTENT), True),
+    ("wrong text", Query(text="robert is the best!"), False),
+    ("required", Query(required=["Interplanetary"]), True),
+    ("required separated",
+     Query(required=[" API   ", "Interplanetary    File   System",
+                     "outstanding features", "   "]), True),
+    ("required missing", Query(required=["ubc launch pad"]), False),
+    ("mime ok", Query(mime_types=["text"]), True),
+    ("mime wrong", Query(mime_types=["unknown"]), False),
+    ("category ok", Query(categories=["amazing startup"]), True),
+    ("category partial must not match", Query(categories=["amazing"]), False),
+    ("tag ok", Query(tags=["test"]), True),
+    ("tag wrong", Query(tags=["kfc"]), False),
+]
+
+
+@pytest.mark.parametrize("name,q,want", MATRIX, ids=[m[0] for m in MATRIX])
+def test_matrix(indexed, name, q, want):
+    hits = [r["doc_id"] for r in search(indexed, q).collect()]
+    assert ("abcde" in hits) == want, f"{name}: hits={hits}"
+
+
+def test_metadata_projection(indexed):
+    # Q8: all metadata fields except content (engine.go:177)
+    row = search(indexed, Query(tags=["test"])).collect()[0]
+    assert row["display_name"] == "my test object!"
+    assert row["mime_type"] == "text"
+    assert row["category"] == "amazing startup"
+    assert row["tags"] == ["test", "object"]
+    assert "content" not in row.asDict()
+
+
+def test_empty_query_rejected(indexed):
+    with pytest.raises(EmptyQueryError):
+        search(indexed, Query())  # v2.go:150-158
+
+
+def test_no_results_error(indexed):
+    with pytest.raises(NoResultsError):
+        search_or_raise(indexed, Query(text="zzz qqq www"))
+
+
+def test_required_scoring(indexed):
+    # any-of semantics: both docs hit one of {storage, words}; scores are
+    # positive and deterministic (tf normalized by doc length, ×100 boost
+    # — query.go:52; like bleve's fieldNorm, shorter docs rank higher
+    # per-hit)
+    rows = search(indexed, Query(required=["storage words"])).collect()
+    assert {r["doc_id"] for r in rows} == {"abcde", "other"}
+    assert all(r["score"] > 0 for r in rows)
+    rerun = search(indexed, Query(required=["storage words"])).collect()
+    assert [(r["doc_id"], r["score"]) for r in rerun] == [
+        (r["doc_id"], r["score"]) for r in rows
+    ]
+
+
+def test_tokenizer_semantics(spark):
+    # Q6: split on ' ', drop len<=1, lowercase (query.go:80-99)
+    df = spark.range(1).select(
+        tokenize(F.lit("A Big  x Dog I")).alias("t")
+    )
+    assert df.collect()[0]["t"] == ["big", "dog"]
