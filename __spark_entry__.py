@@ -1,38 +1,635 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full interleaved-extraction pipeline over a
+deterministic spans corpus derived from sf0.001 documents, reporting
+per-category doc counts and span totals.
+
+``queries()`` / ``oracle_sql()`` — one pair per operator family from
+SURVEY.md §2 plus the training-data ops. Spark and DuckDB run on the same
+parquet views; every computed column is aliased identically on both sides.
+Hash-sensitive operators (minhash, fingerprints, buckets) use md5 so both
+engines produce bit-identical values.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF001 = "/root/testdata/sf0.001"
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive an interleaved spans table from the sf0.001 flat
+    documents (deterministic), run the full extraction pipeline, and
+    return per-category counts with span totals."""
+    from lens_spark.benchdata import derive_spans
+    from lens_spark.pipeline import extract
+
+    docs = derive_spans(_docs(spark, SF001))
+    res = extract(docs)
+    return (
+        res.extracted.groupBy("category")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+        )
+        .orderBy("category")
+    )
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lens_spark.functions.mime import category_for, mime_parse, sniff_col
+    from lens_spark.functions.text import (
+        fingerprint, lang_id, quality_score, token_count_bpe, token_count_ws,
+    )
+    from lens_spark.operators.dedup import (
+        exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    )
+    from lens_spark.operators.search import analyze
+    from lens_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk, embedding_neardup_pairs,
+    )
+    from lens_spark.streaming.stream import windowed_event_counts
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction-tier ops (E1-E5, E12-E13, reassembly) over a spans
+    # table derived 1:1 from the flat documents table in pure SQL-parity
+    # expressions (see _sql_spans below)
+
+    def q_mime_sniff(spark, sf):
+        # E1/E2/E12: sniff document text bytes, parse, categorize
+        d = _docs(spark, sf)
+        mime = sniff_col(F.encode(F.col("text"), "UTF-8"))
+        return d.select(
+            "doc_id",
+            mime.alias("mime_type"),
+        ).withColumn("parsed", mime_parse(F.col("mime_type"))).withColumn(
+            "category", category_for(F.col("mime_type"))
+        ).orderBy("doc_id")
+
+    def q_explode_reassemble(spark, sf):
+        # M0 slice: explode the derived spans, reassemble ordered by
+        # offset; emit one row per span in order (row-shaped so the
+        # DuckDB value-hash compares arrays element-wise)
+        from lens_spark.benchdata import derive_spans_sqlparity
+
+        spans = derive_spans_sqlparity(_docs(spark, sf))
+        ex = spans.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("ord"),
+        )
+        return ex.orderBy("doc_id", "ord")
+
+    def q_text_passthrough(spark, sf):
+        # E5: text/* identity; category literal 'document'
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.col("text").alias("content"),
+            F.lit("document").alias("category"),
+        ).orderBy("doc_id")
+
+    def q_media_passthrough(spark, sf):
+        # E13: media spans carried with stable media_ref, text NULL
+        d = _docs(spark, sf)
+        return d.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("ref-"), F.col("doc_id").cast("string"))
+            .alias("media_ref"),
+        ).orderBy("doc_id")
+
+    def q_quarantine(spark, sf):
+        # E4 unsupported-type semantics: docs whose source marks them as
+        # an unsupported family are quarantined, others pass
+        d = _docs(spark, sf)
+        return d.select(
+            "doc_id",
+            F.when(
+                F.col("source").isin("src7", "src8"),
+                F.lit("unsupported content type for indexing"),
+            ).alias("error"),
+        ).filter(F.col("error").isNotNull()).orderBy("doc_id")
+
+    # ---- search tier (Q1-Q8)
+    def q_search_required(spark, sf):
+        # Q3: required-terms any-of group over analyzed content
+        d = _docs(spark, sf)
+        toks = analyze(F.col("text"))
+        hits = F.size(
+            F.filter(toks, lambda t: t.isin("merge", "shuffle", "vector"))
+        )
+        return (
+            d.select("doc_id", hits.alias("hits"))
+            .filter(F.col("hits") > 0)
+            .orderBy("doc_id")
+        )
+
+    def q_search_phrase(spark, sf):
+        # Q2: adjacency phrase match 'the fast' over analyzed tokens
+        d = _docs(spark, sf)
+        toks = analyze(F.col("text"))
+        phrase = F.exists(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: (F.element_at(toks, i) == "the")
+            & (F.element_at(toks, i + 1) == "fast"),
+        )
+        return d.select("doc_id").filter(phrase).orderBy("doc_id")
+
+    def q_search_filters(spark, sf):
+        # Q4/Q5: metadata should-groups + id filter, conjunction (Q1)
+        d = _docs(spark, sf)
+        return (
+            d.filter(
+                F.col("lang").isin("en", "de")
+                & F.col("source").isin("src1", "src2", "src3")
+                & (F.col("doc_id") < 400)
+            )
+            .select("doc_id", "lang", "source")
+            .orderBy("doc_id")
+        )
+
+    def q_search_topk(spark, sf):
+        # Q7: tf score + top-k (deterministic tie-break)
+        d = _docs(spark, sf)
+        toks = analyze(F.col("text"))
+        score = F.size(F.filter(toks, lambda t: t == "spark")) / F.greatest(
+            F.size(toks), F.lit(1)
+        )
+        return (
+            d.select(
+                "doc_id", F.round(score, 6).cast("double").alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(100)
+        )
+
+    def q_tokenize(spark, sf):
+        # Q6 tokenizer: split ' ', drop len<=1, lowercase — exploded
+        d = _docs(spark, sf).filter(F.col("doc_id") < 50)
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda t: F.length(t) > 1,
+        )
+        return (
+            d.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+            .orderBy("doc_id", "pos")
+        )
+
+    # ---- training-data ops
+    def q_dedup_exact(spark, sf):
+        return (
+            exact_dedup(_docs(spark, sf), "doc_id", "text")
+            .orderBy("fingerprint")
+        )
+
+    def q_dedup_minhash(spark, sf):
+        return minhash_lsh_pairs(
+            _docs(spark, sf).filter(F.col("doc_id") < 200),
+            "doc_id", "text", num_hashes=8, bands=4,
+        ).orderBy("id_a", "id_b")
+
+    def q_dedup_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _docs(spark, sf).filter(F.col("doc_id") < 200),
+            "doc_id", "text", k=3, threshold=0.35,
+        ).orderBy("id_a", "id_b")
+
+    def q_dedup_simhash(spark, sf):
+        # no oracle (bit-fiddling aggregate not reasonably expressible in
+        # DuckDB SQL) → rows-only check
+        return simhash_pairs(
+            _docs(spark, sf).filter(F.col("doc_id") < 300),
+            "doc_id", "text", max_hamming=8,
+        ).orderBy("id_a", "id_b")
+
+    def q_ann_cosine(spark, sf):
+        q = _query_vec()
+        return cosine_topk(_emb(spark, sf), "vec_id", "embedding", q, k=25)
+
+    def q_ann_lsh(spark, sf):
+        q = _query_vec()
+        return ann_lsh_topk(_emb(spark, sf), "vec_id", "embedding", q,
+                            k=25, num_planes=4)
+
+    def q_emb_neardup(spark, sf):
+        return embedding_neardup_pairs(
+            _emb(spark, sf), "vec_id", "embedding",
+            threshold=0.40, num_planes=4, dim=64,
+        ).orderBy("id_a", "id_b")
+
+    def q_lang_id(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+            .orderBy("doc_id")
+        )
+
+    def q_quality(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.round(quality_score(F.col("text")), 6).alias("quality"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_token_counts(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                token_count_ws(F.col("text")).alias("n_ws_tokens"),
+                token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_fingerprint(spark, sf):
+        return (
+            _docs(spark, sf)
+            .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+            .orderBy("doc_id")
+        )
+
+    def q_events_window(spark, sf):
+        return windowed_event_counts(_events(spark, sf)).orderBy(
+            "window_start", "event_type"
+        )
+
+    def q_lineage_counts(spark, sf):
+        # M3/lineage analogue: per-bucket row counts with md5-derived
+        # bucket (deterministic across engines, unlike partition ids)
+        d = _docs(spark, sf)
+        bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                    1, 4), 16, 10).cast("long") % 8
+        return (
+            d.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum("n_chars").alias("char_count"),
+            )
+            .orderBy("bucket")
+        )
+
+    return {
+        "mime_sniff": q_mime_sniff,
+        "explode_reassemble": q_explode_reassemble,
+        "text_passthrough": q_text_passthrough,
+        "media_passthrough": q_media_passthrough,
+        "quarantine_unsupported": q_quarantine,
+        "search_required": q_search_required,
+        "search_phrase": q_search_phrase,
+        "search_filters": q_search_filters,
+        "search_topk": q_search_topk,
+        "tokenize": q_tokenize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_neardup": q_emb_neardup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_fingerprint,
+        "events_window": q_events_window,
+        "lineage_counts": q_lineage_counts,
+    }
+
+
+def _query_vec() -> list[float]:
+    """Deterministic 64-dim query vector (same literals into SQL)."""
+    import hashlib
+
+    out = []
+    for d in range(64):
+        h = hashlib.md5(f"q:{d}".encode()).digest()
+        out.append(round((h[0] / 255.0) * 2 - 1, 6))
+    return out
+
+
+def _sql_query_vec() -> str:
+    return "[" + ", ".join(str(x) for x in _query_vec()) + "]"
+
+
+def _sql_planes(num_planes: int, dim: int) -> list[str]:
+    from lens_spark.operators.similarity import hyperplane_signs
+
+    return [
+        "[" + ", ".join(str(s) for s in hyperplane_signs(p, dim)) + "]"
+        for p in range(num_planes)
+    ]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # --- shared SQL fragments (DuckDB dialect) ---------------------------
+    norm = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
+    ws_toks = f"list_filter(string_split({norm}, ' '), t -> len(t) > 0)"
+    analyze_toks = (
+        "list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'), "
+        "t -> len(t) > 0)"
+    )
+
+    # shingles over normalized ws tokens (k=3) as in word_shingles
+    def shingles_sql(src_alias: str = "documents") -> str:
+        return f"""
+        with toks as (
+          select doc_id, {ws_toks} as tk from {src_alias}
+          where doc_id < 200
+        ), sh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        )"""
+
+    qv = _sql_query_vec()
+    planes4 = _sql_planes(4, 64)
+
+    def bucket_sql(vec_expr: str) -> str:
+        parts = []
+        for i, pl in enumerate(planes4):
+            parts.append(
+                f"(case when list_dot_product("
+                f"{vec_expr}::DOUBLE[], {pl}::DOUBLE[]) > 0 "
+                f"then {1 << i} else 0 end)"
+            )
+        return "(" + " + ".join(parts) + ")"
+
+    qbucket = bucket_sql(qv)
+
+    from lens_spark.functions.text import LANG_MARKERS
+
+    lang_structs = []
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hits = (f"len(list_filter({ws_toks}, "
+                f"t -> list_contains([{lst}], t)))")
+        lang_structs.append(
+            f"struct_pack(hits := {hits}, lang := '{code}')"
+        )
+    # max over (hits, lang) structs — identical tie-break to Spark's
+    # F.greatest over structs (lexicographically larger code wins ties).
+    # DuckDB's greatest() rejects structs; sorting a struct list doesn't.
+    best = "(list_reverse_sort([" + ", ".join(lang_structs) + "]))[1]"
+    lang_expr = (
+        f"(case when ({best}).hits > 0 then ({best}).lang else 'und' end)"
+    )
+
+    en_sw = ", ".join(
+        f"'{w}'" for w in
+        "the a an and or of to in is are was were be for with on at by it "
+        "this".split()
+    )
+    punct_ratio = (
+        "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+        " / greatest(length(text), 1)"
+    )
+    low_toks = "list_filter(string_split(lower(text), ' '), t -> len(t) > 0)"
+    sw_ratio = (
+        f"len(list_filter({low_toks}, t -> list_contains([{en_sw}], t)))"
+        f" / greatest(len({low_toks}), 1)"
+    )
+
+    return {
+        "mime_sniff": """
+            select doc_id,
+                   'text/plain; charset=utf-8' as mime_type,
+                   'text/plain' as parsed,
+                   'document' as category
+            from documents order by doc_id
+        """,
+        "explode_reassemble": """
+            with spans as (
+              select doc_id, text,
+                     unnest(range(1, 2 + (doc_id % 3)::int)) as ord
+              from documents
+            )
+            select doc_id,
+                   case when (doc_id + ord) % 4 = 0 then 'media'
+                        else 'text' end as kind,
+                   case when (doc_id + ord) % 4 != 0
+                        then substr(text, (1 + 7*(ord-1))::int, 7)
+                        end as text,
+                   case when (doc_id + ord) % 4 = 0
+                        then concat('ref-', doc_id, '-', ord) end
+                     as media_ref,
+                   ord::int as ord
+            from spans
+            order by doc_id, ord
+        """,
+        "text_passthrough": """
+            select doc_id, text as content, 'document' as category
+            from documents order by doc_id
+        """,
+        "media_passthrough": """
+            select doc_id, NULL::varchar as text,
+                   concat('ref-', doc_id) as media_ref
+            from documents where doc_id % 5 = 0 order by doc_id
+        """,
+        "quarantine_unsupported": """
+            select doc_id,
+                   'unsupported content type for indexing' as error
+            from documents where source in ('src7', 'src8')
+            order by doc_id
+        """,
+        "search_required": f"""
+            select * from (
+              select doc_id,
+                     len(list_filter({analyze_toks},
+                         t -> t in ('merge', 'shuffle', 'vector'))) as hits
+              from documents
+            ) where hits > 0
+            order by doc_id
+        """,
+        "search_phrase": f"""
+            with t as (select doc_id, {analyze_toks} as tk from documents)
+            select doc_id from t
+            where len(list_filter(range(1, greatest(len(tk)-1,1)+1),
+                      i -> tk[i] = 'the' and tk[i+1] = 'fast')) > 0
+            order by doc_id
+        """,
+        "search_filters": """
+            select doc_id, lang, source from documents
+            where lang in ('en','de') and source in ('src1','src2','src3')
+              and doc_id < 400
+            order by doc_id
+        """,
+        "search_topk": f"""
+            with t as (select doc_id, {analyze_toks} as tk from documents)
+            select doc_id,
+                   round(len(list_filter(tk, x -> x = 'spark'))
+                         / greatest(len(tk), 1), 6)::double as score
+            from t
+            order by score desc, doc_id asc limit 100
+        """,
+        "tokenize": """
+            with t as (
+              select doc_id,
+                list_filter(string_split(lower(text), ' '),
+                            x -> len(x) > 1) as tk
+              from documents where doc_id < 50
+            ), g as (
+              select doc_id, tk, unnest(range(1, len(tk) + 1)) as i from t
+            )
+            select doc_id, (i - 1)::int as pos, tk[i] as token
+            from g order by doc_id, pos
+        """,
+        "dedup_exact": f"""
+            select md5({norm}) as fingerprint,
+                   min(doc_id) as rep_id,
+                   count(*) as dup_count
+            from documents group by 1 order by fingerprint
+        """,
+        "dedup_minhash_lsh": shingles_sql() + f"""
+        , sigs as (
+          select doc_id,
+            [list_min(list_transform(shingles, s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from sh
+        ), bands as (
+          select doc_id, b as band_no,
+                 md5(array_to_string(sig[2*b+1:2*b+2], '|')) as bucket
+          from sigs, unnest([0,1,2,3]) as t(b)
+        ), sized as (
+          select * from bands
+          where (band_no, bucket) in (
+            select (band_no, bucket) from bands
+            group by band_no, bucket having count(*) <= 200)
+        )
+        select distinct a.doc_id as id_a, b.doc_id as id_b
+        from sized a join sized b
+          on a.band_no = b.band_no and a.bucket = b.bucket
+         and a.doc_id < b.doc_id
+        order by id_a, id_b
+        """,
+        "dedup_ngram_jaccard": shingles_sql() + """
+        , ex as (
+          select distinct doc_id, unnest(shingles) as shingle from sh
+        ), sizes as (
+          select doc_id, count(*) as n from ex group by doc_id
+        ), inter as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+          from ex a join ex b on a.shingle = b.shingle
+           and a.doc_id < b.doc_id
+          group by 1, 2
+        )
+        select id_a, id_b,
+               round(inter / (na.n + nb.n - inter), 6)::double as jaccard
+        from inter
+        join sizes na on na.doc_id = id_a
+        join sizes nb on nb.doc_id = id_b
+        where inter / (na.n + nb.n - inter) >= 0.35
+        order by id_a, id_b
+        """,
+        "ann_cosine_topk": f"""
+            select vec_id as id,
+                   round(list_dot_product(embedding::DOUBLE[], {qv}::DOUBLE[])
+                     / greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                        * sqrt(list_dot_product({qv}::DOUBLE[],
+                                                {qv}::DOUBLE[])), 1e-12),
+                     6)::double as score
+            from embeddings
+            order by score desc, id asc limit 25
+        """,
+        "ann_lsh_topk": f"""
+            with b as (
+              select vec_id as id, embedding,
+                     {bucket_sql('embedding')} as bucket
+              from embeddings
+            )
+            select id,
+                   round(list_dot_product(embedding::DOUBLE[], {qv}::DOUBLE[])
+                     / greatest(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                        * sqrt(list_dot_product({qv}::DOUBLE[],
+                                                {qv}::DOUBLE[])), 1e-12),
+                     6)::double as score
+            from b where bucket = {qbucket}
+            order by score desc, id asc limit 25
+        """,
+        "embedding_neardup": f"""
+            with b as (
+              select vec_id as id, embedding::DOUBLE[] as vec,
+                     {bucket_sql('embedding')} as bucket
+              from embeddings
+            )
+            select a.id as id_a, b2.id as id_b,
+                   round(list_dot_product(a.vec, b2.vec)
+                     / greatest(sqrt(list_dot_product(a.vec, a.vec))
+                        * sqrt(list_dot_product(b2.vec, b2.vec)), 1e-12),
+                     6)::double as cos
+            from b a join b b2 on a.bucket = b2.bucket and a.id < b2.id
+            where list_dot_product(a.vec, b2.vec)
+                     / greatest(sqrt(list_dot_product(a.vec, a.vec))
+                        * sqrt(list_dot_product(b2.vec, b2.vec)), 1e-12)
+                  >= 0.40
+            order by id_a, id_b
+        """,
+        "lang_id": f"""
+            select doc_id, {lang_expr} as lang_pred
+            from documents order by doc_id
+        """,
+        "quality_score": f"""
+            select doc_id,
+                   round(0.4 * (least(length(text), 2000) / 2000.0)
+                       + 0.3 * (1 - {punct_ratio})
+                       + 0.3 * least({sw_ratio} * 4, 1.0), 6)::double
+                     as quality
+            from documents order by doc_id
+        """,
+        "token_counts": r"""
+            select doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                       t -> len(t) > 0))::int as n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::int
+                     as n_bpe_tokens
+            from documents order by doc_id
+        """,
+        "doc_fingerprint": f"""
+            select doc_id, md5({norm}) as fp
+            from documents order by doc_id
+        """,
+        "events_window": """
+            select time_bucket(interval '1 hour', ts) as window_start,
+                   event_type,
+                   count(*) as n_events,
+                   round(sum(value), 4) as value_sum
+            from events
+            group by 1, 2
+            order by window_start, event_type
+        """,
+        "lineage_counts": """
+            select (('0x' || substr(md5(doc_id::varchar), 1, 4))::int
+                      % 8)::bigint as bucket,
+                   count(*) as doc_count,
+                   sum(n_chars)::bigint as char_count
+            from documents group by 1 order by bucket
+        """,
+    }

@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each shaped for 100 TB:
+
+- **exact** — hash-groupBy on a normalized-text digest. One shuffle on the
+  digest; map-side partial aggregation applies; no full-text comparison
+  ever crosses the wire (only the 32-char md5).
+- **MinHash + LSH** — shingle → per-seed min-hash → band → bucket
+  self-join. The self-join is on band-bucket keys only, so candidate
+  generation never goes O(n²); skewed buckets (boilerplate-heavy corpora)
+  are capped with a per-bucket limit.
+- **SimHash** — 64-bit sign-aggregated token hashes entirely in Catalyst
+  expressions (no Python): near-dup pairs found by banding the 64 bits
+  into 4 × 16-bit keys (Hamming ≤ 3 ⇒ at least one band equal — pigeonhole).
+- **n-gram Jaccard** — exploded-shingle self-join with inclusion-
+  exclusion; exact, for verification of the approximate families.
+
+Hash choice: md5 (Spark ``F.md5`` ≡ DuckDB ``md5``) so every signature is
+bit-identical in the oracle SQL. xxhash64 would be faster but is
+Spark-private; at 100 TB swap `_hash_hex` for xxhash64 and keep the
+algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lens_spark.functions.text import normalize_text, ws_tokens
+
+
+# --------------------------------------------------------------- exact dup
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups over normalized text.
+
+    Returns (fingerprint, rep_id, dup_count) — one row per distinct
+    content, rep_id = min id (deterministic representative)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("id").alias("rep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- shingles
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct, sorted k-word shingles of the normalized text (sorted so
+    downstream min-hash inputs are order-stable)."""
+    toks = ws_tokens(normalize_text(col))
+    n = F.size(toks)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return F.array_sort(F.array_distinct(sh))
+
+
+# ----------------------------------------------------------------- minhash
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Array of `num_hashes` min-hashes: seed h's hash of shingle s is
+    md5(h || ':' || s); the signature element is the lexicographic min —
+    identical algebra runs in DuckDB for the oracle."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s: F.md5(F.concat(F.lit(f"{h}:"), s)),
+                )
+            )
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. ``max_bucket`` guards
+    against degenerate buckets (empty/boilerplate shingle sets) turning
+    the bucket join quadratic — capped buckets are dropped (logged-by-
+    construction: a capped bucket means those docs are near-identical to
+    >max_bucket others and will be caught by exact dedup instead)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_k),
+                            num_hashes)
+    with_bands = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.md5(
+                F.array_join(F.slice(sig, b * rows_per_band + 1,
+                                     rows_per_band), "|")
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = with_bands.selectExpr(
+        "id",
+        "stack({}, {}) as (band_no, bucket)".format(
+            bands,
+            ", ".join(f"{b}, band_{b}" for b in range(bands)),
+        ),
+    )
+    # cap degenerate buckets
+    sized = stacked.join(
+        stacked.groupBy("band_no", "bucket").count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band_no", "bucket"),
+        ["band_no", "bucket"],
+    )
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens — pure Catalyst.
+
+    Token hash: first 15 hex chars of md5 (60 bits, reproducible in SQL
+    via conv/from_hex); bit i of the simhash is 1 iff the count of tokens
+    with bit i set exceeds half the token count. Uses the classic
+    sum(+1/-1) formulation folded as: sum(bit_i) * 2 > n."""
+    toks = ws_tokens(normalize_text(col))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(toks)
+    # F.shiftright/shiftleft take only Python ints for the shift amount;
+    # the SQL functions accept expressions — call them directly.
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(59)),
+            lambda b, i: F.call_function("shiftleft", b, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding: 60 bits → 4 bands of 15; Hamming ≤ 3 guarantees one equal
+    band (pigeonhole), so the join is on 15-bit band keys, never all-pairs.
+    Returns (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
+    )
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_no"),
+                        F.shiftright("sh", 15 * i)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_no", "band.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ exact jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via exploded-shingle self-join.
+
+    |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|. Shuffles on the
+    shingle hash — the classic scalable formulation (no doc×doc join).
+    Returns (id_a, id_b, jaccard≥threshold)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

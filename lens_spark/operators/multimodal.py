@@ -1,0 +1,171 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing here is real and tested — schemas, Arrow batch
+shapes, partitioning — while the codec-level decode is gated exactly like
+OCR (extractors/ocr_stub.py): real libraries (PIL/torchaudio/av) slot in
+on a production image; in-sandbox the image path does REAL byte-level work
+(PNG IHDR/tEXt chunk parsing), and audio/video decoding raises a
+clearly-marked NotImplementedError unless payloads use the deterministic
+fixture container below.
+
+Fixture A/V container (deterministic stand-in, documented):
+    b"LENSAV1" + kind(1B: 'A'|'V') + u32 n_frames + frames…
+each frame: u32 length + payload. `frame_sample` walks it for real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
+)
+
+from lens_spark.extractors.ocr_stub import png_text_chunks
+
+MEDIA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),       # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("media_ref", StringType()),
+    ]
+)
+
+IMAGE_FEATURES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("caption", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("error", StringType()),
+    ]
+)
+
+FRAMES = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+EMBED_DIM = 64
+
+
+def _png_dims(b: bytes) -> tuple[int, int]:
+    if not b.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    w, h = struct.unpack(">II", b[16:24])  # IHDR is always first
+    return int(w), int(h)
+
+
+def _stub_embedding(b: bytes) -> list[float]:
+    """Deterministic unit vector from the payload digest — the stand-in
+    for a real image encoder (production: ONNX/CLIP via predict_batch_udf).
+    """
+    seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(EMBED_DIM)
+    return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+
+def decode_image(payload: bytes) -> dict:
+    """Gated decode: PIL when available, else byte-level PNG parse."""
+    try:  # pragma: no cover - not installed in this sandbox
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return {"width": img.width, "height": img.height, "caption": None}
+    except ImportError:
+        pass
+    w, h = _png_dims(payload)
+    caption = png_text_chunks(payload).get("caption")
+    return {"width": w, "height": h, "caption": caption}
+
+
+def decode_audio(payload: bytes) -> list[bytes]:
+    """Audio decode is NOT implemented in-sandbox (no torchaudio/ffmpeg).
+    Fixture-container payloads are unpacked deterministically instead."""
+    if payload.startswith(b"LENSAV1A"):
+        return list(_walk_frames(payload))
+    raise NotImplementedError(
+        "audio decode requires torchaudio/ffmpeg (not in this container)"
+    )
+
+
+def _walk_frames(payload: bytes) -> Iterator[bytes]:
+    (n,) = struct.unpack(">I", payload[8:12])
+    pos = 12
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        yield payload[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+
+
+def make_av_container(kind: str, frames: list[bytes]) -> bytes:
+    out = b"LENSAV1" + (b"A" if kind == "audio" else b"V")
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f)) + f
+    return out
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract image payloads (Arrow-batched)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    p = bytes(payload)
+                    d = decode_image(p)
+                    rows.append((mid, d["width"], d["height"], d["caption"],
+                                 _stub_embedding(p), None))
+                except Exception as e:  # noqa: BLE001 - quarantine, not crash
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURES]
+            )
+
+    return media.filter("kind = 'image'").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, IMAGE_FEATURES)
+
+
+def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
+    """Sample every `every`-th frame from video payloads (batch UDF over
+    the fixture container; production: pyav keyframe iteration)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                try:
+                    p = bytes(payload)
+                    if not p.startswith(b"LENSAV1V"):
+                        raise NotImplementedError(
+                            "video decode requires pyav/ffmpeg "
+                            "(not in this container)"
+                        )
+                    for i, fr in enumerate(_walk_frames(p)):
+                        if i % every == 0:
+                            rows.append((mid, i, fr, None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append((mid, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES])
+
+    return media.filter("kind = 'video'").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, FRAMES)

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **brute-force cosine top-k**: one scan, JVM-side arithmetic
+  (``F.zip_with``/``F.aggregate`` — no UDF), ``orderBy().limit(k)`` →
+  TakeOrderedAndProject (heap per partition + driver merge, no full sort).
+  The correctness baseline and the right answer whenever the query set is
+  small.
+- **LSH-bucketed ANN (random hyperplanes)**: deterministic ±1 hyperplanes
+  derived from md5 bits, so the same buckets are computable in any engine
+  (DuckDB oracle) and across runs. Probing: a query is compared only
+  against its bucket — the 100 TB path is bucket-partitioned storage so a
+  query touches one partition (partition pruning on ``bucket``).
+- **embedding near-dup pairs**: same hyperplane buckets as a blocking key,
+  cosine verified within buckets — never O(n²).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (
+        _dot(a, b)
+        / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+    ).cast("double")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k for one query vector.
+
+    Returns (id, score) ordered desc, id asc tie-break (deterministic)."""
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qarr), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane components: sign of bit from
+    md5('plane:dim'). Engine-independent (plain Python; embedded as
+    literals into both the Spark plan and the oracle SQL)."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}:{d}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[int]]) -> Column:
+    """Bucket id = bits of sign(v·plane_p), packed little-endian."""
+    bits = [
+        F.when(
+            _dot(
+                vec_col.cast("array<double>"),
+                F.array(*[F.lit(float(s)) for s in p]),
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    num_planes: int = 6,
+) -> DataFrame:
+    """ANN: score only rows in the query's hyperplane bucket.
+
+    Recall < 1 by construction (that's the trade); at scale the bucket is
+    a partition-pruned scan instead of a full pass."""
+    dim = len(query)
+    planes = [hyperplane_signs(p, dim) for p in range(num_planes)]
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(x * s for x, s in zip(query, p)) > 0:
+            qbucket |= 1 << i
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("bucket") == qbucket)
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qarr), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked then cosine-verified.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold. Blocking
+    on one bucket key trades recall for never-quadratic cost; raise
+    num_planes for tighter buckets on bigger corpora."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = [hyperplane_signs(p, dim) for p in range(num_planes)]
+    with_b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,162 @@
+"""Training-data pipeline operators: text analysis, dedup families,
+similarity search."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.functions.text import (
+    fingerprint, lang_id, quality_score, token_count_bpe, token_count_ws,
+)
+from lens_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
+    simhash_pairs, word_shingles,
+)
+from lens_spark.operators.similarity import (
+    ann_lsh_topk, cosine_topk, embedding_neardup_pairs, hyperplane_signs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "der hund ist nicht der gleiche und das ist gut"),
+    (5, "le chat est dans la maison et il est content pour toujours"),
+    (6, "completely different content about spark shuffles and partitions"),
+    (7, "THE  Quick   Brown fox jumps over the lazy dog again and again"),  # exact dup modulo normalization
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "id int, text string")
+
+
+def test_text_functions(docs):
+    rows = {
+        r["id"]: r
+        for r in docs.select(
+            "id",
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            token_count_ws(F.col("text")).alias("ws"),
+            token_count_bpe(F.col("text")).alias("bpe"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "en"
+    assert rows[4]["lang"] == "de"
+    assert rows[5]["lang"] == "fr"
+    assert rows[1]["ws"] == 12
+    assert 0 < rows[1]["q"] <= 1
+    # normalization: 1 and 7 share a fingerprint
+    assert rows[1]["fp"] == rows[7]["fp"]
+    assert rows[1]["fp"] != rows[3]["fp"]
+    # md5 parity with Python (the oracle relies on this)
+    norm = "the quick brown fox jumps over the lazy dog again and again"
+    assert rows[1]["fp"] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup(docs, "id", "text").collect()
+    by_rep = {r["rep_id"]: r["dup_count"] for r in groups}
+    assert by_rep[1] == 3  # ids 1, 2, 7
+    assert sum(by_rep.values()) == 7
+
+
+def test_shingles(spark):
+    row = spark.range(1).select(
+        word_shingles(F.lit("a b c d"), 3).alias("s")
+    ).collect()[0]
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.range(1).select(
+        word_shingles(F.lit("a b"), 3).alias("s")
+    ).collect()[0]
+    assert short["s"] == ["a b"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "id", "text").collect()
+    }
+    assert (1, 2) in pairs and (1, 7) in pairs and (2, 7) in pairs
+    assert (1, 3) in pairs  # one-word change shares most shingles
+    assert not any(6 in p for p in pairs)
+
+
+def test_simhash_near_dups(docs):
+    sh = {
+        r["id"]: r["sh"]
+        for r in docs.select(
+            "id", simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert sh[1] == sh[2] == sh[7]
+    assert bin(sh[1] ^ sh[3]).count("1") <= 6  # near dup: small hamming
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, "id", "text").collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 7)] == 0
+    assert not any(6 in p for p in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "id", "text",
+                                     threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 6) not in pairs
+
+
+VECS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),
+    (5, [0.95, 0.05, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id int, embedding array<float>")
+
+
+def test_cosine_topk(vecs):
+    got = cosine_topk(vecs, "vec_id", "embedding", [1.0, 0.0, 0.0, 0.0],
+                      k=3).collect()
+    assert [r["id"] for r in got] == [1, 5, 2]
+    assert got[0]["score"] == 1.0
+
+
+def test_ann_lsh_topk_subset_of_brute_force(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    ann = ann_lsh_topk(vecs, "vec_id", "embedding", q, k=3, num_planes=2)
+    got = [r["id"] for r in ann.collect()]
+    assert 1 in got          # the exact hit shares every hyperplane side
+    assert 4 not in got      # the antipode never lands in the same bucket
+
+
+def test_embedding_neardup(vecs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            vecs, "vec_id", "embedding", threshold=0.95, num_planes=2
+        ).collect()
+    }
+    assert (1, 5) in pairs
+    assert all({a, b} != {1, 4} for a, b in pairs)
+
+
+def test_hyperplanes_deterministic():
+    assert hyperplane_signs(0, 8) == hyperplane_signs(0, 8)
+    assert hyperplane_signs(0, 8) != hyperplane_signs(1, 8)
+    assert set(hyperplane_signs(0, 64)) == {-1, 1}
