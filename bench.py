@@ -1,0 +1,154 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value" (sec), "unit": "sec", "queries": {name: sec},
+"sf", "extra"}.
+
+The headline is the extraction pipeline (BASELINE.json metric:
+documents/sec extracted) over the interleaved spans corpus derived
+deterministically from the flat documents table (lens_spark.benchdata).
+Corpus derivation is cached under .bench_cache/ and NOT counted in the
+timings; the extra dict reports docs/sec and corpus size.
+
+Scaling evidence (north_rule: ≥0.8 efficiency from N to 4N): run
+``python BENCH/run_scaling.py`` which executes this same extract job at
+local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def ensure_corpus(spark, sf_dir: str) -> str:
+    """Materialize the derived spans corpus once per sf (deterministic).
+
+    ``BENCH_MULT=k`` replicates the flat table k times with disjoint
+    doc_id ranges (distinct seeds → distinct payloads) so the measured
+    region is compute-dominated rather than fixed-overhead-dominated —
+    required for a meaningful scaling-efficiency measurement (at the real
+    10^12-doc scale the fixed costs vanish; a 5k-doc run is all fixed
+    cost)."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.benchdata import derive_spans
+
+    mult = int(os.environ.get("BENCH_MULT", "1"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if mult > 1:
+        tag += f"_x{mult}"
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"spans_{tag}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if mult > 1:
+            parts = [
+                flat.select(
+                    (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+                    "text",
+                )
+                for k in range(mult)
+            ]
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+            flat = rep
+        derive_spans(flat).repartition(32).write.mode("overwrite").parquet(cache)
+    return cache
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # an 8g heap degrades run-over-run from GC pressure (measured); the
+    # box has 125g — give the single local JVM room
+    os.environ.setdefault("LENS_DRIVER_MEM", "24g")
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.dedup import minhash_lsh_pairs
+    from lens_spark.operators.search import Query, search
+    from lens_spark.operators.similarity import cosine_topk
+    from lens_spark.pipeline import extract
+    from lens_spark.session import get_spark
+    from lens_spark.streaming.stream import windowed_event_counts
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app="lens-bench", cores=cores)
+    corpus_path = ensure_corpus(spark, sf_dir)
+    spans = spark.read.parquet(corpus_path)
+    n_docs = spans.count()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {"n_docs": n_docs, "cores": cores}
+
+    warm_runs = int(os.environ.get("BENCH_WARM", "1"))
+
+    def timed(name: str, fn, reps: int = 1) -> None:
+        for _ in range(warm_runs):  # discarded warm run (JIT, codegen,
+            fn()                    # python workers, page cache)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
+
+    # headline: full extraction INCLUDING the table sink (a pipeline ends
+    # in a write; timing a bare count would flatter the number)
+    out_path = os.path.join(os.path.dirname(corpus_path),
+                            f"extracted_{os.path.basename(corpus_path)}")
+
+    def run_extract() -> None:
+        res = extract(spans)
+        res.extracted.write.mode("overwrite").parquet(out_path)
+        extra["extracted_docs"] = spark.read.parquet(out_path).count()
+
+    timed("extract", run_extract,
+          reps=int(os.environ.get("BENCH_REPS", "3")))
+    extra["docs_per_sec"] = round(n_docs / timings["extract"], 2)
+
+    docs_flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    timed("dedup_minhash_lsh",
+          lambda: minhash_lsh_pairs(docs_flat, "doc_id", "text",
+                                    num_hashes=16, bands=4,
+                                    hash_fn="xxhash64").count())
+    timed("dedup_exact", lambda: __import__(
+        "lens_spark.operators.dedup", fromlist=["exact_dedup"]
+    ).exact_dedup(docs_flat, "doc_id", "text").count())
+    timed("ann_cosine_topk",
+          lambda: cosine_topk(emb, "vec_id", "embedding",
+                              entrymod._query_vec(), k=25).collect())
+    timed("events_window",
+          lambda: windowed_event_counts(events).count())
+
+    # search over the extracted table (content flatten + clause eval)
+    ext = spark.read.parquet(out_path)
+    timed("search_required",
+          lambda: search(ext, Query(required=["merge shuffle vector"]))
+          .count())
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

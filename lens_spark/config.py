@@ -30,10 +30,11 @@ class ExtractConfig:
     page_join_prefix: str = " "
 
     # --- scale mechanics ---
-    # Shuffle fan-out for the extract stage. Rule of thumb: 2-3x total
-    # cores. On a 1000-executor/8-core cluster set ~24000; AQE coalesces
-    # small partitions back down so overshooting is cheap.
-    num_partitions: int = 64
+    # Shuffle fan-out for the extract stage. None (default) repartitions
+    # by key only and lets AQE pick/coalesce the partition count from the
+    # actual shuffle size — the right call at every scale. Pin an explicit
+    # count only when AQE is off or batch sizing must be forced.
+    num_partitions: int | None = None
 
     # Salt fan-out for giant-document skew: a doc's spans spread across up
     # to `salt_buckets` tasks during the per-span extract stage and are

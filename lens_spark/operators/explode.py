@@ -34,20 +34,28 @@ def explode_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
     string), media_ref, payload (binary), mime, parsed (charset-stripped),
     family, salt, size_bucket.
     """
-    # plain posexplode: docs with empty span arrays produce no span rows
-    # and are restored (empty spans, 'unknown' category) by the final
-    # left join in reassemble.assemble — reference defaulting semantics,
-    # engine/engine.go:130-137.
+    # posexplode_outer: docs with empty span arrays produce ONE sentinel
+    # row (null span) which flows to reassembly as a vacuous success —
+    # this keeps the whole pipeline join-free (a join back to the input
+    # table just to restore empty docs would be an extra 10^12-row
+    # shuffle). Docs whose spans ALL quarantine produce no output row,
+    # matching the reference: a failed magnify is never indexed
+    # (v2_util.go:62-65,94).
+    base_cols = ["doc_id"]
+    if "display_name" in docs.columns:
+        base_cols.append("display_name")
     sp = docs.select(
-        "doc_id",
-        F.posexplode("spans").alias("pos", "span"),
+        *base_cols,
+        F.posexplode_outer("spans").alias("pos", "span"),
     ).select(
-        "doc_id",
+        *base_cols,
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+    if "display_name" not in sp.columns:
+        sp = sp.withColumn("display_name", F.lit(None).cast("string"))
 
     is_textual = F.col("kind").isin("text", "html")
     payload = (
@@ -79,7 +87,15 @@ def explode_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
         "salt",
         F.pmod(F.xxhash64("doc_id", "offset"), F.lit(cfg.salt_buckets)),
     )
-    return (
-        sp.repartition(cfg.num_partitions, F.col("doc_id"), F.col("salt"))
-        .sortWithinPartitions("size_bucket")
-    )
+    keys = [F.col("doc_id"), F.col("salt")]
+    # The stages above this exchange are Python-CPU-bound (PDF parse, OCR,
+    # HTML parse), so partition count must track CORES, not bytes — AQE's
+    # byte-based coalescing would shrink a few-MB shuffle to one partition
+    # and serialize the whole UDF stage (measured 5x slowdown). Explicit
+    # count = 2x total cores keeps every core busy with small task skew.
+    n = cfg.num_partitions or 2 * spark_cores(docs)
+    return sp.repartition(n, *keys).sortWithinPartitions("size_bucket")
+
+
+def spark_cores(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism

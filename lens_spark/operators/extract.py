@@ -41,6 +41,7 @@ from lens_spark.extractors.pdf_mini import PdfError, pdf_pages
 SPAN_OUT = StructType(
     [
         StructField("doc_id", StringType()),
+        StructField("display_name", StringType()),
         StructField("offset", IntegerType()),
         StructField("kind", StringType()),       # detected branch
         StructField("text", StringType()),       # extracted content
@@ -154,6 +155,7 @@ def _extract_one(b: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "doc_id": b["doc_id"].values,
+            "display_name": b["display_name"].values,
             "offset": b["offset"].values,
             "kind": out["kind"],
             "text": out["text"],
@@ -170,6 +172,8 @@ def dispatch(exploded: DataFrame, cfg: ExtractConfig = DEFAULT) -> dict:
 
     Returns dict of branch name → DataFrame (column sets differ; the
     pipeline normalizes each to SPAN_OUT)."""
+    has_span = F.col("offset").isNotNull()
+    is_empty = F.col("offset").isNull()  # posexplode_outer sentinel
     is_media = F.col("kind") == "media"
     is_html = F.col("parsed") == "text/html"
     is_plain_text = (
@@ -188,16 +192,17 @@ def dispatch(exploded: DataFrame, cfg: ExtractConfig = DEFAULT) -> dict:
     ) & ~is_media
 
     return {
-        "media": exploded.filter(is_media),
-        "text": exploded.filter(~is_media & is_plain_text),
-        "html": exploded.filter(~is_media & is_html),
-        "udf": exploded.filter(needs_udf),
+        "empty": exploded.filter(is_empty),
+        "media": exploded.filter(has_span & is_media),
+        "text": exploded.filter(has_span & ~is_media & is_plain_text),
+        "html": exploded.filter(has_span & ~is_media & is_html),
+        "udf": exploded.filter(has_span & needs_udf),
     }
 
 
 def run_extract_udf(branch: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
-    cols = ["doc_id", "offset", "payload", "parsed", "family",
-            "media_ref", "mime", F.col("kind").alias("kind_hint")]
+    cols = ["doc_id", "display_name", "offset", "payload", "parsed",
+            "family", "media_ref", "mime", F.col("kind").alias("kind_hint")]
     return branch.select(*cols).mapInPandas(
         make_extract_udf(cfg), schema=SPAN_OUT
     )

@@ -45,6 +45,7 @@ from lens_spark.extractors.html_strip import html_blocks
 BLOCK_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
+        StructField("display_name", StringType()),
         StructField("offset", IntegerType()),
         StructField("media_ref", StringType()),
         StructField("mime", StringType()),
@@ -63,28 +64,30 @@ BLOCK_SCHEMA = StructType(
 def _blocks_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in it:
         rows = []
-        for doc_id, offset, media_ref, mime, payload in zip(
-            b["doc_id"], b["offset"], b["media_ref"], b["mime"], b["payload"]
+        for doc_id, display_name, offset, media_ref, mime, payload in zip(
+            b["doc_id"], b["display_name"], b["offset"], b["media_ref"],
+            b["mime"], b["payload"]
         ):
             html = bytes(payload).decode("utf-8", errors="replace") \
                 if payload is not None else ""
             for blk in html_blocks(html):
                 rows.append(
-                    (doc_id, offset, media_ref, mime, blk.block_id, blk.tag,
-                     blk.depth, blk.text, blk.n_chars, blk.n_link_chars,
-                     blk.n_tags, blk.boiler)
+                    (doc_id, display_name, offset, media_ref, mime,
+                     blk.block_id, blk.tag, blk.depth, blk.text,
+                     blk.n_chars, blk.n_link_chars, blk.n_tags, blk.boiler)
                 )
-            if not rows or rows[-1][0] != doc_id or rows[-1][1] != offset:
+            if not rows or rows[-1][0] != doc_id or rows[-1][2] != offset:
                 # emit a sentinel empty block so spans whose HTML yields no
                 # blocks still produce an (empty-text) output span
-                rows.append((doc_id, offset, media_ref, mime, -1, "body",
-                             0, "", 0, 0, 0, False))
+                rows.append((doc_id, display_name, offset, media_ref, mime,
+                             -1, "body", 0, "", 0, 0, 0, False))
         yield pd.DataFrame(rows, columns=[f.name for f in BLOCK_SCHEMA])
 
 
 def html_node_table(branch: DataFrame) -> DataFrame:
     """Stage (a): HTML spans → exploded block table."""
-    cols = ["doc_id", "offset", "media_ref", "mime", "payload"]
+    cols = ["doc_id", "display_name", "offset", "media_ref", "mime",
+            "payload"]
     return branch.select(*cols).mapInPandas(_blocks_batches, BLOCK_SCHEMA)
 
 
@@ -118,6 +121,7 @@ def html_extract(branch: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
     normalized to the SPAN_OUT column set."""
     scored = score_blocks(html_node_table(branch), cfg)
     kept = scored.groupBy("doc_id", "offset").agg(
+        F.first("display_name").alias("display_name"),
         F.first("media_ref").alias("media_ref"),
         F.first("mime").alias("mime"),
         F.array_join(
@@ -135,6 +139,7 @@ def html_extract(branch: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
     )
     return kept.select(
         "doc_id",
+        "display_name",
         "offset",
         F.lit("html").alias("kind"),
         "text",

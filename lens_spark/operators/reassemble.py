@@ -23,18 +23,24 @@ from pyspark.sql import DataFrame, functions as F
 from lens_spark.functions.mime import category_for
 
 
-def assemble(good_spans: DataFrame, docs: DataFrame) -> DataFrame:
-    """good_spans: SPAN_OUT rows with error IS NULL.
-    docs: original documents table (doc_id [, display_name])."""
+def assemble(good_spans: DataFrame) -> DataFrame:
+    """good_spans: SPAN_OUT rows with error IS NULL (including the
+    '__empty__' sentinel for zero-span docs). Join-free: one aggregation
+    produces the final table; docs whose every span quarantined simply
+    have no good rows and are absent — the reference never indexes a
+    failed magnify (v2_util.go:62-65,94)."""
     agg = good_spans.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        F.col("offset").alias("order"),
-                        F.col("kind"),
-                        F.col("text"),
-                        F.col("media_ref"),
+                    F.when(
+                        F.col("kind") != "__empty__",
+                        F.struct(
+                            F.col("offset").alias("order"),
+                            F.col("kind"),
+                            F.col("text"),
+                            F.col("media_ref"),
+                        ),
                     )
                 )
             ),
@@ -45,6 +51,7 @@ def assemble(good_spans: DataFrame, docs: DataFrame) -> DataFrame:
                 s.order.alias("order"),
             ),
         ).alias("spans"),
+        F.first("display_name").alias("display_name"),
         F.min(
             F.when(F.col("mime").isNotNull(),
                    F.struct(F.col("offset"), F.col("mime")))
@@ -60,24 +67,9 @@ def assemble(good_spans: DataFrame, docs: DataFrame) -> DataFrame:
         ).alias("tags"),
     )
 
-    base_cols = ["doc_id"]
-    if "display_name" in docs.columns:
-        base_cols.append("display_name")
-    base = docs.select(*base_cols)
-    out = base.join(agg, "doc_id", "left")
-
-    if "display_name" not in out.columns:
-        out = out.withColumn("display_name", F.lit(None).cast("string"))
-
-    return out.select(
+    return agg.select(
         "doc_id",
-        F.coalesce(
-            "spans",
-            F.array().cast(
-                "array<struct<kind:string,text:string,"
-                "media_ref:string,order:int>>"
-            ),
-        ).alias("spans"),
+        "spans",
         # index-time defaulting: engine/engine.go:130-137
         F.coalesce("mime_type", F.lit("unknown")).alias("mime_type"),
         category_for(F.col("mime_type")).alias("category"),

@@ -127,6 +127,11 @@ def extract_doc(doc: dict, cfg: ExtractConfig = DEFAULT) -> dict:
         "category": category,
         "tags": tags,
         "quarantine": quar,
+        # a doc appears in the output iff at least one span succeeded, or
+        # it had no spans at all (vacuous success). A doc whose every span
+        # failed is never indexed — reference magnify error semantics
+        # (v2_util.go:62-65,94).
+        "indexed": bool(out_spans) or len(doc["spans"]) == 0,
     }
 
 

@@ -35,6 +35,7 @@ class ExtractResult:
 def _norm_media(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id",
+        "display_name",
         "offset",
         F.lit("media").alias("kind"),
         F.lit(None).cast("string").alias("text"),
@@ -50,6 +51,7 @@ def _norm_text(df: DataFrame) -> DataFrame:
     # stored as the original string, so this is a pure projection.
     return df.select(
         "doc_id",
+        "display_name",
         "offset",
         F.lit("text").alias("kind"),
         "text",
@@ -60,12 +62,29 @@ def _norm_text(df: DataFrame) -> DataFrame:
     )
 
 
+def _norm_empty(df: DataFrame) -> DataFrame:
+    # posexplode_outer sentinel for zero-span docs: vacuous success row
+    # filtered out of the spans array at reassembly ('__empty__' kind)
+    return df.select(
+        "doc_id",
+        "display_name",
+        F.lit(None).cast("int").alias("offset"),
+        F.lit("__empty__").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+
 def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> ExtractResult:
     exploded = explode_spans(docs, cfg)
     branches = dispatch(exploded, cfg)
 
     spans = (
-        _norm_media(branches["media"])
+        _norm_empty(branches["empty"])
+        .unionByName(_norm_media(branches["media"]))
         .unionByName(_norm_text(branches["text"]))
         .unionByName(html_extract(branches["html"], cfg))
         .unionByName(run_extract_udf(branches["udf"], cfg))
@@ -75,6 +94,6 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> ExtractResult:
     quarantine = spans.filter(F.col("error").isNotNull()).select(
         "doc_id", "offset", "kind", "error"
     )
-    extracted = assemble(good, docs)
+    extracted = assemble(good)
     return ExtractResult(extracted=extracted, quarantine=quarantine,
                          spans_flat=spans)

@@ -1,0 +1,74 @@
+"""V2-facade parity: Index/Search/Remove lifecycle (v2.go semantics) —
+the engine-E2E shape of the reference tests (engine_test.go:17-113,
+v2_test.go:268-340)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lens_spark.api import LensV2, Query, query_hash, valid_doc_id
+from lens_spark.corpus import docs_to_spark, gen_docs
+from lens_spark.operators.search import NoResultsError
+
+
+@pytest.fixture()
+def lens(spark, tmp_path):
+    return LensV2(spark, str(tmp_path / "store"))
+
+
+def test_index_search_remove_lifecycle(spark, lens):
+    rows = gen_docs(10, seed=13, with_edge_rows=False)
+    docs = docs_to_spark(spark, rows)
+
+    assert lens.index(docs) == 10
+    assert lens.index(docs) == 0          # IsIndexed guard
+    assert lens.index(docs, reindex=True) == 10  # Reindex bypass
+
+    some_id = rows[0]["doc_id"]
+    assert lens.is_indexed(some_id)
+    assert not lens.is_indexed("nope")
+    assert not lens.is_indexed("")        # engine.go:161-163
+
+    hits = lens.search(Query(hashes=[some_id]))
+    assert hits[0]["doc_id"] == some_id
+
+    lens.remove([some_id])
+    assert not lens.is_indexed(some_id)
+    with pytest.raises(KeyError):
+        lens.remove([some_id])            # v2_util.go:119-122
+
+    with pytest.raises(NoResultsError):
+        lens.search(Query(hashes=["absent"]))
+
+
+def test_invalid_doc_ids_dropped(spark, lens):
+    from lens_spark.schema import DOCUMENTS
+
+    docs = spark.createDataFrame(
+        [
+            ("ok-id", [("text", "hello world content", None, 1)]),
+            ("bad id with spaces", [("text", "x y z", None, 1)]),
+            ("", [("text", "empty id", None, 1)]),
+        ],
+        schema=DOCUMENTS,
+    )
+    assert lens.index(docs) == 1
+    assert lens.is_indexed("ok-id")
+
+
+def test_query_hash_stable():
+    q1 = Query(text="a", tags=["t"])
+    q2 = Query(text="a", tags=["t"])
+    assert query_hash(q1) == query_hash(q2)
+    assert query_hash(q1) != query_hash(Query(text="b", tags=["t"]))
+
+
+def test_valid_doc_id_expr(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("ok",), ("has space",), ("",), ("x" * 300,)], "doc_id string"
+    )
+    got = [r["doc_id"] for r in
+           df.filter(valid_doc_id(F.col("doc_id"))).collect()]
+    assert got == ["ok"]

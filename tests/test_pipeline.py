@@ -27,8 +27,12 @@ def test_span_sequence_equality(spark):
     expected = extract_corpus(rows)
     got, quar = _run(spark, rows)
 
-    assert set(got) == {e["doc_id"] for e in expected}
+    assert set(got) == {e["doc_id"] for e in expected if e["indexed"]}
     for e in expected:
+        if not e["indexed"]:
+            for off, kind, err in e["quarantine"]:
+                assert quar.get((e["doc_id"], off)) == err
+            continue
         g = got[e["doc_id"]]
         got_spans = [
             (s["kind"], s["text"], s["media_ref"], s["order"])
@@ -59,6 +63,8 @@ def test_edge_rows(spark):
     assert quar[("doc-edge-unsupported", 1)] == (
         "unsupported content type for indexing"  # v2_util.go:94
     )
+    # every span failed → never indexed (magnify error semantics)
+    assert "doc-edge-unsupported" not in got
     # empty string payload sniffs as text/plain → passthrough "" (Go
     # DetectContentType of empty input)
     ep = got["doc-edge-empty-payload"]
