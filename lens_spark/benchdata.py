@@ -56,7 +56,10 @@ def derive_spans_sqlparity(flat_docs: DataFrame) -> DataFrame:
     return flat_docs.select("doc_id", spans.alias("spans"))
 
 
-def _build_spans(doc_id: int, text: str) -> list[tuple]:
+def _build_spans(doc_id: int, text: str, heavy: bool = False) -> list[tuple]:
+    """heavy=True produces realistic document weights (multi-page PDFs,
+    long multi-block HTML, KB-scale text) so benchmark runs are
+    compute-dominated — the light profile is for fast correctness tests."""
     rng = random.Random(doc_id)  # seeded by doc_id only → deterministic
     n_spans = 1 + rng.randint(0, 5)
     words = text.split() or ["word"]
@@ -69,20 +72,27 @@ def _build_spans(doc_id: int, text: str) -> list[tuple]:
             weights=[45, 20, 12, 10, 13],
         )[0]
         payload, media_ref = None, None
-        piece = " ".join(
-            rng.choice(words) for _ in range(rng.randint(6, 40))
-        )
+        tw = rng.randint(150, 700) if heavy else rng.randint(6, 40)
+        piece = " ".join(rng.choice(words) for _ in range(tw))
         if kind == "text":
             payload = piece
         elif kind == "html":
-            payload, _ = make_html(rng, n_paras=rng.randint(1, 3))
+            n_paras = rng.randint(20, 60) if heavy else rng.randint(1, 3)
+            payload, _ = make_html(rng, n_paras=n_paras)
         elif kind == "pdf":
+            n_pages = rng.randint(4, 12) if heavy else rng.randint(1, 2)
+            lines_pp = rng.randint(5, 10) if heavy else 1
             pages = []
-            for _ in range(rng.randint(1, 2)):
+            for _ in range(n_pages):
                 if rng.random() < 0.3:
                     pages.append({"caption": " ".join(words[:5])})
                 else:
-                    pages.append({"lines": [piece[:60]]})
+                    pages.append({
+                        "lines": [
+                            " ".join(rng.choice(words) for _ in range(8))
+                            for _ in range(lines_pp)
+                        ]
+                    })
             payload = base64.b64encode(make_pdf(pages)).decode("ascii")
         elif kind == "image":
             cap = " ".join(words[:4]).upper() if rng.random() > 0.15 else None
@@ -93,7 +103,7 @@ def _build_spans(doc_id: int, text: str) -> list[tuple]:
     return spans
 
 
-def derive_spans(flat_docs: DataFrame) -> DataFrame:
+def derive_spans(flat_docs: DataFrame, heavy: bool = False) -> DataFrame:
     """Rich interleaved corpus: distributed, Arrow-batched, seeded by
     doc_id. Output uses the authoritative DOCUMENTS schema."""
 
@@ -103,7 +113,7 @@ def derive_spans(flat_docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 rows.append(
                     (f"doc-{int(doc_id):09d}",
-                     _build_spans(int(doc_id), text or ""))
+                     _build_spans(int(doc_id), text or "", heavy))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 

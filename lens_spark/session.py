@@ -36,5 +36,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LENS_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # pre-fork heavy imports into every python worker (COW) — at high
+        # core counts per-worker import cost dominates UDF-stage spin-up
+        .config("spark.python.daemon.module", "lens_spark.worker_daemon")
     )
     return builder.getOrCreate()
