@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from lens_spark.operators.dedup import (
         exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
     )
+    from lens_spark.functions.hof import exists_u, filter_u, transform_u
     from lens_spark.operators.search import analyze
     from lens_spark.operators.similarity import (
         ann_lsh_topk, cosine_topk, embedding_neardup_pairs,
@@ -136,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         toks = analyze(F.col("text"))
         hits = F.size(
-            F.filter(toks, lambda t: t.isin("merge", "shuffle", "vector"))
+            filter_u(toks, lambda t: t.isin("merge", "shuffle", "vector"))
         )
         return (
             d.select("doc_id", hits.alias("hits"))
@@ -148,7 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q2: adjacency phrase match 'the fast' over analyzed tokens
         d = _docs(spark, sf)
         toks = analyze(F.col("text"))
-        phrase = F.exists(
+        phrase = exists_u(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
             lambda i: (F.element_at(toks, i) == "the")
             & (F.element_at(toks, i + 1) == "fast"),
@@ -172,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q7: tf score + top-k (deterministic tie-break)
         d = _docs(spark, sf)
         toks = analyze(F.col("text"))
-        score = F.size(F.filter(toks, lambda t: t == "spark")) / F.greatest(
+        score = F.size(filter_u(toks, lambda t: t == "spark")) / F.greatest(
             F.size(toks), F.lit(1)
         )
         return (
@@ -186,7 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_tokenize(spark, sf):
         # Q6 tokenizer: split ' ', drop len<=1, lowercase — exploded
         d = _docs(spark, sf).filter(F.col("doc_id") < 50)
-        toks = F.filter(
+        toks = filter_u(
             F.split(F.lower(F.col("text")), " "),
             lambda t: F.length(t) > 1,
         )

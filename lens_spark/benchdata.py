@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from lens_spark.corpus import make_html, make_pdf
+from lens_spark.functions.hof import transform_u
 from lens_spark.extractors.ocr_stub import make_png
 from lens_spark.schema import DOCUMENTS
 
@@ -33,7 +34,7 @@ def derive_spans_sqlparity(flat_docs: DataFrame) -> DataFrame:
     spans; span g is media when (doc_id+g)%4==0 else a 7-char text slice.
     Every expression has a 1:1 DuckDB equivalent."""
     k = F.lit(1) + (F.col("doc_id") % 3).cast("int")
-    spans = F.transform(
+    spans = transform_u(
         F.sequence(F.lit(1), k),
         lambda g: F.struct(
             F.when((F.col("doc_id") + g) % 4 == 0, F.lit("media"))

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from lens_spark.functions.hof import filter_u
+
 # marker words per language — tiny curated sets; voting is by hit count
 LANG_MARKERS: dict[str, tuple] = {
     "en": ("the", "and", "of", "to", "is", "that", "for", "with"),
@@ -34,7 +36,9 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(col: Column) -> Column:
-    return F.filter(F.split(col, _WS_SPLIT), lambda t: F.length(t) > 0)
+    # filter_u: several ws_tokens/marker-hit lambdas often share one
+    # projection (lang_id builds four) — see functions/hof.py
+    return filter_u(F.split(col, _WS_SPLIT), lambda t: F.length(t) > 0)
 
 
 def token_count_ws(col: Column) -> Column:
@@ -49,7 +53,7 @@ def token_count_bpe(col: Column) -> Column:
 
 def _marker_hits(tokens: Column, markers: tuple) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+    return F.size(filter_u(tokens, lambda t: F.array_contains(arr, t)))
 
 
 def lang_id(col: Column) -> Column:

@@ -25,6 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lens_spark.functions.hof import (
+    aggregate_u, transform_u, zip_with_u,
+)
 from lens_spark.functions.text import normalize_text, ws_tokens
 
 
@@ -55,7 +58,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     n = F.size(toks)
     sh = F.when(
         n >= k,
-        F.transform(
+        transform_u(
             F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
@@ -79,9 +82,12 @@ def minhash_signature(
     else:
         def h1(h, s):
             return F.xxhash64(F.concat(F.lit(f"{h}:"), s))
+    # transform_u, NOT F.transform: num_hashes sibling lambdas in one
+    # projection hit the Spark 4.1 lambda-variable collision (functions/
+    # hof.py) and silently produce garbage signatures
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, h=h: h1(h, s)))
+            F.array_min(transform_u(shingles, lambda s, h=h: h1(h, s)))
             for h in range(num_hashes)
         ]
     )
@@ -135,12 +141,16 @@ def minhash_lsh_pairs(
             ", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
-    # cap degenerate buckets
-    sized = stacked.join(
-        stacked.groupBy("band_no", "bucket").count()
-        .filter(F.col("count") <= max_bucket)
-        .select("band_no", "bucket"),
-        ["band_no", "bucket"],
+    # cap degenerate buckets — window count instead of groupBy+join: one
+    # shuffle on (band_no, bucket), and the self-join below reuses the
+    # same partitioning (no extra exchange)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_no", "bucket")
+    sized = (
+        stacked.withColumn("bucket_n", F.count("*").over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
     a = sized.alias("a")
     b = sized.alias("b")
@@ -165,16 +175,19 @@ def simhash64(col: Column) -> Column:
     with bit i set exceeds half the token count. Uses the classic
     sum(+1/-1) formulation folded as: sum(bit_i) * 2 > n."""
     toks = ws_tokens(normalize_text(col))
-    hashes = F.transform(
+    hashes = transform_u(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
     n = F.size(toks)
+    # collision-safe helpers throughout: this expression nests a lambda
+    # inside a lambda inside a zip_with — prime territory for the Spark
+    # 4.1 shared-variable-name bug (functions/hof.py).
     # F.shiftright/shiftleft take only Python ints for the shift amount;
     # the SQL functions accept expressions — call them directly.
-    bits = F.transform(
+    bits = transform_u(
         F.sequence(F.lit(0), F.lit(59)),
         lambda i: F.when(
-            F.aggregate(
+            aggregate_u(
                 hashes,
                 F.lit(0).cast("long"),
                 lambda acc, h: acc
@@ -185,8 +198,8 @@ def simhash64(col: Column) -> Column:
             F.lit(1).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(
-        F.zip_with(
+    return aggregate_u(
+        zip_with_u(
             bits,
             F.sequence(F.lit(0), F.lit(59)),
             lambda b, i: F.call_function("shiftleft", b, i),

@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from lens_spark.config import ExtractConfig, DEFAULT
 from lens_spark.extractors.html_strip import html_blocks
+from lens_spark.functions.hof import transform_u
 
 BLOCK_SCHEMA = StructType(
     [
@@ -125,7 +126,7 @@ def html_extract(branch: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
         F.first("media_ref").alias("media_ref"),
         F.first("mime").alias("mime"),
         F.array_join(
-            F.transform(
+            transform_u(
                 F.array_sort(
                     F.collect_list(
                         F.when(F.col("keep"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from lens_spark.functions.hof import transform_u
 from lens_spark.functions.mime import category_for
 
 
@@ -29,8 +30,9 @@ def assemble(good_spans: DataFrame) -> DataFrame:
     produces the final table; docs whose every span quarantined simply
     have no good rows and are absent — the reference never indexes a
     failed magnify (v2_util.go:62-65,94)."""
+    # transform_u: two sibling transform lambdas share this aggregation
     agg = good_spans.groupBy("doc_id").agg(
-        F.transform(
+        transform_u(
             F.array_sort(
                 F.collect_list(
                     F.when(
@@ -56,7 +58,7 @@ def assemble(good_spans: DataFrame) -> DataFrame:
             F.when(F.col("mime").isNotNull(),
                    F.struct(F.col("offset"), F.col("mime")))
         )["mime"].alias("mime_type"),
-        F.transform(
+        transform_u(
             F.array_sort(
                 F.collect_list(
                     F.when(F.col("keyword").isNotNull(),

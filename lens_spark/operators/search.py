@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lens_spark.config import SearchConfig, DEFAULT_SEARCH
+from lens_spark.functions.hof import exists_u, filter_u, transform_u
 
 
 class NoResultsError(Exception):
@@ -75,7 +76,7 @@ def tokenize(col: Column) -> Column:
     """Q6 (query.go:80-99): split on ' ', drop len<=1, lowercase.
     This is the QUERY-side term builder (the reference applies it when
     constructing term queries)."""
-    return F.filter(
+    return filter_u(
         F.split(F.lower(col), " "), lambda t: F.length(t) > 1
     )
 
@@ -87,7 +88,7 @@ def analyze(col: Column) -> Column:
     non-alphanumerics, drop empties. (Divergence: bleve also removes
     English stop words; we keep them — scores differ, match/no-match on
     the reference test matrix does not.)"""
-    return F.filter(
+    return filter_u(
         F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
     )
 
@@ -104,7 +105,8 @@ def doc_content(extracted: DataFrame) -> DataFrame:
     return extracted.withColumn(
         "content",
         F.array_join(
-            F.transform(F.col("spans"), lambda s: F.coalesce(s.text, F.lit(""))),
+            transform_u(F.col("spans"),
+                        lambda s: F.coalesce(s.text, F.lit(""))),
             " ",
         ),
     )
@@ -121,7 +123,7 @@ def _phrase_clause(tokens_col: Column, phrase: str) -> Column:
     n = len(q)
     # exists i in [1, len-n+1]: slice(tokens, i, n) == qarr
     # (sequence() descends when start > stop, so clamp and pre-guard)
-    return (F.size(tokens_col) >= n) & F.exists(
+    return (F.size(tokens_col) >= n) & exists_u(
         F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - n + 1, F.lit(1))),
         lambda i: F.slice(tokens_col, i, n) == qarr,
     )
@@ -173,7 +175,7 @@ def search(
         if qtoks:
             qarr = F.array(*[F.lit(t) for t in qtoks])
             score = score + F.size(
-                F.filter(F.col("tokens"), lambda t: F.array_contains(qarr, t))
+                filter_u(F.col("tokens"), lambda t: F.array_contains(qarr, t))
             ) / F.greatest(F.size("tokens"), F.lit(1))
 
     terms = _required_terms(q.required)
@@ -181,7 +183,7 @@ def search(
         if terms:
             tarr = F.array(*[F.lit(t) for t in terms])
             hits = F.size(
-                F.filter(F.col("tokens"), lambda t: F.array_contains(tarr, t))
+                filter_u(F.col("tokens"), lambda t: F.array_contains(tarr, t))
             )
             clauses.append(hits > 0)
             # boost ×100 (query.go:52)
@@ -196,7 +198,7 @@ def search(
 
     if q.tags:
         clauses.append(
-            F.exists(
+            exists_u(
                 F.col("tags"),
                 lambda t: _exact_in(t, q.tags),
             )

@@ -20,10 +20,14 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lens_spark.functions.hof import aggregate_u, zip_with_u
+
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+    # collision-safe lambdas: cosine() places three sibling _dot
+    # aggregates in one projection (see functions/hof.py)
+    return aggregate_u(
+        zip_with_u(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
