@@ -216,8 +216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
 
     def q_dedup_simhash(spark, sf):
-        # no oracle (bit-fiddling aggregate not reasonably expressible in
-        # DuckDB SQL) → rows-only check
         return simhash_pairs(
             _docs(spark, sf).filter(F.col("doc_id") < 300),
             "doc_id", "text", max_hamming=8,
@@ -546,6 +544,40 @@ def oracle_sql() -> dict[str, str]:
         join sizes nb on nb.doc_id = id_b
         where inter / (na.n + nb.n - inter) >= 0.35
         order by id_a, id_b
+        """,
+        "dedup_simhash": r"""
+            with toks as (
+              select doc_id,
+                     unnest(list_filter(string_split(
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' '), t -> len(t) > 0)) as t
+              from documents where doc_id < 300
+            ), h as (
+              select doc_id, ('0x' || substr(md5(t), 1, 15))::bigint as h
+              from toks
+            ), n as (
+              select doc_id, count(*) as n from h group by 1
+            ), bits as (
+              select h.doc_id, b.b,
+                     case when sum((h.h >> b.b) & 1) * 2 > any_value(n.n)
+                          then (1::bigint << b.b) else 0 end as bit
+              from h join n using (doc_id),
+                   (select unnest(range(0, 60)) as b) b
+              group by h.doc_id, b.b
+            ), sim as (
+              select doc_id, sum(bit)::bigint as sh from bits group by doc_id
+            ), banded as (
+              select doc_id, sh, band_no,
+                     (sh >> (15 * band_no)) & 32767 as key
+              from sim, (select unnest(range(0, 4)) as band_no) bn
+            )
+            select distinct a.doc_id as id_a, b.doc_id as id_b,
+                   bit_count(xor(a.sh, b.sh))::int as hamming
+            from banded a join banded b
+              on a.band_no = b.band_no and a.key = b.key
+             and a.doc_id < b.doc_id
+            where bit_count(xor(a.sh, b.sh)) <= 8
+            order by id_a, id_b
         """,
         "ann_cosine_topk": f"""
             select vec_id as id,
