@@ -149,7 +149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Q2: adjacency phrase match 'the fast' over analyzed tokens
         d = _docs(spark, sf)
         toks = analyze(F.col("text"))
-        phrase = exists_u(
+        # size guard first: under ANSI mode (Spark 4 default) element_at
+        # on an out-of-range index aborts the job, and the sequence below
+        # clamps to [1,1] even for 0/1-token docs — same guard as
+        # operators/search.py:_phrase_clause ("bad rows never kill the job")
+        phrase = (F.size(toks) >= 2) & exists_u(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
             lambda i: (F.element_at(toks, i) == "the")
             & (F.element_at(toks, i + 1) == "fast"),
@@ -210,12 +214,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id_a", "id_b")
 
     def q_dedup_jaccard(spark, sf):
+        # max_df=150 (< the 200-doc slice) so the hot-shingle cap is a
+        # live code path in the correctness gate, mirrored in the oracle
         return ngram_jaccard_pairs(
             _docs(spark, sf).filter(F.col("doc_id") < 200),
-            "doc_id", "text", k=3, threshold=0.35,
+            "doc_id", "text", k=3, threshold=0.35, max_df=150,
         ).orderBy("id_a", "id_b")
 
     def q_dedup_simhash(spark, sf):
+        # max_hamming=8 → simhash_bands gives 9 bands (full recall at the
+        # requested radius by pigeonhole); the oracle below bands from the
+        # SAME layout so the comparison is non-circular in shape but
+        # identical in banding
         return simhash_pairs(
             _docs(spark, sf).filter(F.col("doc_id") < 300),
             "doc_id", "text", max_hamming=8,
@@ -414,7 +424,16 @@ def oracle_sql() -> dict[str, str]:
         f" / greatest(len({low_toks}), 1)"
     )
 
-    return {
+    # simhash band layout: generated from the SAME helper the Spark
+    # operator uses (simhash_bands), max_hamming=8 → 9 bands over 60 bits
+    from lens_spark.operators.dedup import simhash_bands
+
+    bands_vals = ", ".join(
+        f"({i}, {off}, {(1 << w) - 1})"
+        for i, (off, w) in enumerate(simhash_bands(8))
+    )
+
+    out = {
         "mime_sniff": """
             select doc_id,
                    'text/plain; charset=utf-8' as mime_type,
@@ -527,8 +546,12 @@ def oracle_sql() -> dict[str, str]:
         order by id_a, id_b
         """,
         "dedup_ngram_jaccard": shingles_sql() + """
-        , ex as (
+        , ex0 as (
           select distinct doc_id, unnest(shingles) as shingle from sh
+        ), ex as (
+          -- hot-shingle document-frequency cap (mirror of max_df=150)
+          select doc_id, shingle from ex0
+          qualify count(*) over (partition by shingle) <= 150
         ), sizes as (
           select doc_id, count(*) as n from ex group by doc_id
         ), inter as (
@@ -567,9 +590,9 @@ def oracle_sql() -> dict[str, str]:
             ), sim as (
               select doc_id, sum(bit)::bigint as sh from bits group by doc_id
             ), banded as (
-              select doc_id, sh, band_no,
-                     (sh >> (15 * band_no)) & 32767 as key
-              from sim, (select unnest(range(0, 4)) as band_no) bn
+              select doc_id, sh, b_no as band_no,
+                     (sh >> b_off) & b_mask as key
+              from sim, (values __BANDS__) bn(b_no, b_off, b_mask)
             )
             select distinct a.doc_id as id_a, b.doc_id as id_b,
                    bit_count(xor(a.sh, b.sh))::int as hamming
@@ -666,3 +689,6 @@ def oracle_sql() -> dict[str, str]:
             from documents group by 1 order by bucket
         """,
     }
+    out["dedup_simhash"] = out["dedup_simhash"].replace("__BANDS__",
+                                                        bands_vals)
+    return out

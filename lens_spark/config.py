@@ -30,10 +30,12 @@ class ExtractConfig:
     page_join_prefix: str = " "
 
     # --- scale mechanics ---
-    # Shuffle fan-out for the extract stage. None (default) repartitions
-    # by key only and lets AQE pick/coalesce the partition count from the
-    # actual shuffle size — the right call at every scale. Pin an explicit
-    # count only when AQE is off or batch sizing must be forced.
+    # Shuffle fan-out for the extract stage. None (default) pins the count
+    # to 2 x defaultParallelism (operators/explode.py): the stage above
+    # the exchange is Python-CPU-bound, so partition count must track
+    # CORES, not bytes — AQE's byte-based coalescing would shrink a
+    # few-MB shuffle to one partition and serialize the UDF stage
+    # (measured 5x slowdown). Set an explicit count to override.
     num_partitions: int | None = None
 
     # Salt fan-out for giant-document skew: a doc's spans spread across up
@@ -70,6 +72,14 @@ class SearchConfig:
     required_boost: float = 100.0
     # reference engine/engine.go:196 — search context deadline (seconds)
     deadline_s: int = 30
+    # bleve-faithful token stream: the reference's standard analyzer
+    # removes Lucene's English stop set at index time (engine/index.go:44);
+    # default False keeps stop words (match/no-match parity with the
+    # reference test matrix holds either way; scores differ regardless)
+    remove_stop_words: bool = False
+    # divide scores by the result set's max (bleve tracks MaxScore,
+    # engine/engine.go:190) — ranking order is unchanged, scale is [0,1]
+    normalize_max_score: bool = False
 
 
 DEFAULT = ExtractConfig()

@@ -9,11 +9,17 @@ Four families, each shaped for 100 TB:
   self-join. The self-join is on band-bucket keys only, so candidate
   generation never goes O(n²); skewed buckets (boilerplate-heavy corpora)
   are capped with a per-bucket limit.
-- **SimHash** — 64-bit sign-aggregated token hashes entirely in Catalyst
-  expressions (no Python): near-dup pairs found by banding the 64 bits
-  into 4 × 16-bit keys (Hamming ≤ 3 ⇒ at least one band equal — pigeonhole).
+- **SimHash** — 60-bit sign-aggregated token hashes entirely in Catalyst
+  expressions (no Python): near-dup pairs found by banding the bits into
+  max(4, max_hamming+1) keys, so pigeonhole guarantees full recall at the
+  requested radius (Hamming ≤ max_hamming ⇒ at least one band equal).
 - **n-gram Jaccard** — exploded-shingle self-join with inclusion-
-  exclusion; exact, for verification of the approximate families.
+  exclusion; exact over the df-capped shingle space (shingles appearing
+  in > max_df docs are dropped before BOTH the intersection and the
+  sizes — a ubiquitous boilerplate shingle would otherwise create a
+  quadratic join bucket; df-capping is the standard practice and keeps
+  Jaccard consistent because numerator and denominator see the same
+  universe).
 
 Hash choice: md5 (Spark ``F.md5`` ≡ DuckDB ``md5``) so every signature is
 bit-identical in the oracle SQL. xxhash64 would be faster but is
@@ -209,14 +215,41 @@ def simhash64(col: Column) -> Column:
     )
 
 
+def simhash_bands(max_hamming: int, bits: int = 60) -> list[tuple[int, int]]:
+    """Band layout (offset, width) covering `bits` bits with
+    ``max_hamming + 1`` bands (minimum 4).
+
+    Pigeonhole: a pair within Hamming ≤ max_hamming differs in at most
+    max_hamming bands, so with max_hamming+1 bands at least one band is
+    bit-identical — banding is then EXHAUSTIVE (full recall), not a lossy
+    candidate filter. Widths differ by at most 1 (e.g. max_hamming=8 →
+    9 bands: 6x7 + 3x6 bits). Shared by the Spark operator and the DuckDB
+    oracle generator so both engines band identically."""
+    nbands = max(4, max_hamming + 1)
+    if nbands > bits:
+        raise ValueError(f"max_hamming={max_hamming} needs {nbands} bands "
+                         f"but only {bits} bits are available")
+    base, extra = divmod(bits, nbands)
+    out, off = [], 0
+    for i in range(nbands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — exhaustive.
 
-    Banding: 60 bits → 4 bands of 15; Hamming ≤ 3 guarantees one equal
-    band (pigeonhole), so the join is on 15-bit band keys, never all-pairs.
+    Banding: 60 bits → max(4, max_hamming+1) bands (simhash_bands), so
+    the pigeonhole guarantee holds for the REQUESTED radius: any pair
+    within max_hamming shares at least one band and the band-key join
+    finds it (never all-pairs). More bands = more candidate rows per doc
+    (linear) — the price of full recall at larger radii.
     Returns (id_a, id_b, hamming)."""
+    layout = simhash_bands(max_hamming)
     sh = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
@@ -228,11 +261,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_no"),
-                        F.shiftright("sh", 15 * i)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        F.shiftright("sh", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(layout)
                 ]
             )
         ).alias("band"),
@@ -263,16 +296,34 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via exploded-shingle self-join.
+    """n-gram Jaccard near-dup pairs via exploded-shingle self-join —
+    exact over the df-capped shingle space.
 
     |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|. Shuffles on the
     shingle hash — the classic scalable formulation (no doc×doc join).
-    Returns (id_a, id_b, jaccard≥threshold)."""
+
+    ``max_df`` drops shingles present in more than max_df documents
+    BEFORE both the intersection join and the per-doc sizes (consistent
+    numerator/denominator): one boilerplate shingle shared by D docs
+    would otherwise emit D² join rows. Same window-count trick as
+    minhash_lsh_pairs — one shuffle on shingle, reused by the self-join.
+    ``max_df=None`` disables the cap (pure exact; unsafe on corpora with
+    ubiquitous boilerplate). Returns (id_a, id_b, jaccard≥threshold)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     ).distinct()
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("df", F.count("*").over(w))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

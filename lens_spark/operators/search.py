@@ -50,6 +50,23 @@ class NoResultsError(Exception):
     """reference engine.go:203-205"""
 
 
+class SearchDeadlineError(Exception):
+    """reference engine.go:196-198: 30 s context deadline on search"""
+
+
+# bleve's `en` stop token filter = Lucene's classic 33-word English stop
+# set (bleve/analysis/lang/en; public Lucene constant). The reference's
+# index mapping uses the standard analyzer which applies it at index time
+# (engine/index.go:44); our default analyzer keeps stop words for
+# match/no-match parity with the test matrix, and `remove_stop_words`
+# opts into bleve-faithful token streams.
+STOP_WORDS_EN = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with"
+    .split()
+)
+
+
 class EmptyQueryError(Exception):
     """reference v2.go:150-158: reject if no query and no options"""
 
@@ -81,22 +98,37 @@ def tokenize(col: Column) -> Column:
     )
 
 
-def analyze(col: Column) -> Column:
+def analyze(col: Column, remove_stop_words: bool = False) -> Column:
     """CONTENT-side analyzer — the DataFrame analogue of bleve's standard
-    analyzer used at index time (unicode word tokenizer + lowercase;
+    analyzer used at index time (word tokenizer + lowercase;
     engine/index.go:44 default text mapping): split on any run of
-    non-alphanumerics, drop empties. (Divergence: bleve also removes
-    English stop words; we keep them — scores differ, match/no-match on
-    the reference test matrix does not.)"""
-    return filter_u(
-        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
+    non-alphanumerics, drop empties. The character class is ASCII
+    ``[^0-9a-zA-Z]+`` — deliberately identical to the query-side
+    ``_analyze_py`` and the DuckDB oracle SQL, so content and query
+    tokenize the same way on any corpus (a Unicode class on one side only
+    would silently break phrase matches on non-ASCII text).
+
+    ``remove_stop_words=True`` additionally drops bleve/Lucene's standard
+    English stop set (bleve's ``en`` analyzer token filter) — see
+    ``STOP_WORDS_EN``; the default analyzer used for match/no-match parity
+    keeps them (scores differ from bleve either way, documented)."""
+    toks = filter_u(
+        F.split(F.lower(col), r"[^0-9a-zA-Z]+"), lambda t: F.length(t) > 0
     )
+    if remove_stop_words:
+        toks = filter_u(toks, lambda t: ~t.isin(*sorted(STOP_WORDS_EN)))
+    return toks
 
 
-def _analyze_py(text: str) -> list[str]:
+def _analyze_py(text: str, remove_stop_words: bool = False) -> list[str]:
+    """Query-side analyzer — same character class and stop handling as the
+    content-side ``analyze`` (asymmetry would silently break matches)."""
     import re as _re
 
-    return [t for t in _re.split(r"[^0-9a-zA-Z]+", text.lower()) if t]
+    toks = [t for t in _re.split(r"[^0-9a-zA-Z]+", text.lower()) if t]
+    if remove_stop_words:
+        toks = [t for t in toks if t not in STOP_WORDS_EN]
+    return toks
 
 
 def doc_content(extracted: DataFrame) -> DataFrame:
@@ -112,11 +144,12 @@ def doc_content(extracted: DataFrame) -> DataFrame:
     )
 
 
-def _phrase_clause(tokens_col: Column, phrase: str) -> Column:
+def _phrase_clause(tokens_col: Column, phrase: str,
+                   remove_stop_words: bool = False) -> Column:
     """Tokenized-adjacency phrase match. The query phrase is normalized
     with the same tokenizer; a doc matches when its token stream contains
     the query tokens consecutively."""
-    q = _analyze_py(phrase)
+    q = _analyze_py(phrase, remove_stop_words)
     if not q:
         return F.lit(True)
     qarr = F.array(*[F.lit(t) for t in q])
@@ -163,15 +196,17 @@ def search(
         )
 
     df = doc_content(extracted).withColumn(
-        "tokens", analyze(F.col("content"))
+        "tokens", analyze(F.col("content"), cfg.remove_stop_words)
     )
 
     clauses: list[Column] = []
     score: Column = F.lit(0.0)
 
     if q.text:
-        clauses.append(_phrase_clause(F.col("tokens"), q.text))
-        qtoks = _analyze_py(q.text)
+        clauses.append(
+            _phrase_clause(F.col("tokens"), q.text, cfg.remove_stop_words)
+        )
+        qtoks = _analyze_py(q.text, cfg.remove_stop_words)
         if qtoks:
             qarr = F.array(*[F.lit(t) for t in qtoks])
             score = score + F.size(
@@ -214,25 +249,74 @@ def search(
     for c in clauses[1:]:
         cond = cond & c
 
-    return (
+    # Q8 projection: all metadata fields except content (engine.go:177,
+    # index.go:20-26) — includes `indexed` (properties.indexed,
+    # engine/index.go:36-38) when the table carries it; tolerate tables
+    # written by pre-`indexed` versions of the engine.
+    fields = ["doc_id", "display_name", "mime_type", "category", "tags"]
+    if "indexed" in df.columns:
+        fields.append("indexed")
+    topk = (
         df.filter(cond)
-        .select(
-            "doc_id",
-            "display_name",
-            "mime_type",
-            "category",
-            "tags",
-            score.cast("double").alias("score"),
-        )
+        .select(*fields, score.cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(cfg.top_k)
     )
+    if cfg.normalize_max_score:
+        # bleve tracks MaxScore per result set (engine.go:190 logs
+        # out.MaxScore); normalized = score / max(score). The window is
+        # global but runs over <= top_k (1000) already-limited rows — a
+        # single-partition window on a bounded set, not a scale concern.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        topk = topk.withColumn(
+            "score",
+            (F.col("score")
+             / F.greatest(F.max("score").over(w), F.lit(1e-12)))
+            .cast("double"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk
+
+
+def _collect_with_deadline(df: DataFrame, seconds: float):
+    """Collect with the reference's search deadline (engine.go:196-198:
+    30 s context deadline). The collect runs in a worker thread holding a
+    job group (PySpark pinned-thread mode makes setJobGroup thread-local);
+    on timeout the group is cancelled and SearchDeadlineError raised."""
+    import threading
+    import uuid
+
+    spark = df.sparkSession
+    group = f"lens-search-{uuid.uuid4().hex[:12]}"
+    out: list = []
+    err: list = []
+
+    def run():
+        try:
+            spark.sparkContext.setJobGroup(group, "lens search", True)
+            out.append(df.collect())
+        except Exception as e:  # surfaced to caller below
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(group)
+        raise SearchDeadlineError(
+            f"failed to execute search: deadline of {seconds}s exceeded"
+        )
+    if err:
+        raise err[0]
+    return out[0]
 
 
 def search_or_raise(extracted: DataFrame, q: Query,
                     cfg: SearchConfig = DEFAULT_SEARCH):
-    """Engine-faithful wrapper: 0 hits ⇒ error (engine.go:203-205)."""
-    rows = search(extracted, q, cfg).collect()
+    """Engine-faithful wrapper: 30 s deadline (engine.go:196-198),
+    0 hits ⇒ error (engine.go:203-205)."""
+    rows = _collect_with_deadline(search(extracted, q, cfg), cfg.deadline_s)
     if not rows:
         raise NoResultsError("no results found")
     return rows

@@ -113,3 +113,17 @@ def test_tokenizer_semantics(spark):
         tokenize(F.lit("A Big  x Dog I")).alias("t")
     )
     assert df.collect()[0]["t"] == ["big", "dog"]
+
+
+def test_driver_phrase_query_survives_empty_docs(spark, tmp_path):
+    """ADVICE r1: under ANSI mode (Spark 4 default) element_at on an
+    out-of-range index kills the job; a 0- or 1-token document must not
+    abort q_search_phrase ('bad rows never kill the job')."""
+    import __spark_entry__ as entry
+
+    rows = [(1, ""), (2, "word"), (3, "the fast fox"), (4, "   ")]
+    d = str(tmp_path / "mini")
+    spark.createDataFrame(rows, "doc_id int, text string").write.parquet(
+        f"{d}/documents.parquet")
+    got = entry.queries()["search_phrase"](spark, d).collect()
+    assert [r["doc_id"] for r in got] == [3]

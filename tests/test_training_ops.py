@@ -160,3 +160,72 @@ def test_hyperplanes_deterministic():
     assert hyperplane_signs(0, 8) == hyperplane_signs(0, 8)
     assert hyperplane_signs(0, 8) != hyperplane_signs(1, 8)
     assert set(hyperplane_signs(0, 64)) == {-1, 1}
+
+
+# ---------------------------------------------------------------- round 2
+def test_simhash_bands_layout():
+    from lens_spark.operators.dedup import simhash_bands
+
+    for h in (0, 3, 8, 15):
+        layout = simhash_bands(h)
+        assert len(layout) == max(4, h + 1)
+        # contiguous cover of all 60 bits, widths differ by <= 1
+        assert layout[0][0] == 0
+        assert sum(w for _, w in layout) == 60
+        for (o1, w1), (o2, _) in zip(layout, layout[1:]):
+            assert o1 + w1 == o2
+        widths = {w for _, w in layout}
+        assert max(widths) - min(widths) <= 1
+    with pytest.raises(ValueError):
+        simhash_bands(60)  # 61 bands > 60 bits
+
+
+def test_simhash_pairs_full_recall_at_radius(docs):
+    """Pigeonhole guarantee holds for the REQUESTED max_hamming: banding
+    must return exactly the brute-force pair set (ADVICE r1: 4 fixed
+    bands silently lost Hamming 4..8 pairs)."""
+    sh = {
+        r["id"]: r["sh"]
+        for r in docs.select(
+            "id", simhash64(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for radius in (3, 8):
+        brute = {
+            (a, b)
+            for a in sh for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= radius
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, "id", "text",
+                                   max_hamming=radius).collect()
+        }
+        assert got == brute, f"radius={radius}"
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by every doc must not create a quadratic join
+    bucket: with the df cap it contributes ZERO candidate pairs; without
+    it (max_df=None) it yields all-pairs."""
+    boiler = "subscribe to our newsletter now"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    capped = ngram_jaccard_pairs(df, "id", "text", k=3, threshold=0.01,
+                                 max_df=10)
+    # every ubiquitous shingle (df=30 > 10) dropped; the unique{i} tails
+    # share nothing, so no candidates survive at all
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_pairs(df, "id", "text", k=3, threshold=0.01,
+                                   max_df=None)
+    assert uncapped.count() == 30 * 29 // 2  # quadratic without the cap
+
+
+def test_jaccard_cap_consistent_universe(docs):
+    """Cap larger than every df leaves results identical to uncapped."""
+    a = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "id", "text", threshold=0.5, max_df=None).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "id", "text", threshold=0.5, max_df=100).collect()))
+    assert a == b
