@@ -37,6 +37,28 @@ from lens_spark.functions.hof import (
 from lens_spark.functions.text import normalize_text, ws_tokens
 
 
+# ------------------------------------------------------------- parallelism
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None
+                       ) -> DataFrame:
+    """Guarantee the expensive map-side compute (shingling, signatures,
+    simhash bit aggregation) gets at least 2 x defaultParallelism input
+    partitions.
+
+    Why: a narrow scan serializes everything computed below the first
+    exchange — a single-file parquet input runs the whole signature stage
+    on ONE core regardless of cluster size (measured in round 1: minhash
+    stage efficiency 0.32 from 8→32 cores for exactly this reason). A
+    well-partitioned 100 TB input (thousands of scan splits) passes
+    through untouched — the round-robin repartition fires only when the
+    scan is narrower than the target, so this never *coalesces* a wide
+    input and never adds a shuffle at real scale."""
+    target = (min_partitions
+              or 2 * df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------- exact dup
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups over normalized text.
@@ -70,6 +92,31 @@ def word_shingles(col: Column, k: int = 3) -> Column:
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
     return F.array_sort(F.array_distinct(sh))
+
+
+# ----------------------------------------------------------------- pairing
+def pair_structs(ids: Column) -> Column:
+    """All ordered pairs struct(a, b) with a < b from a SORTED array —
+    pure Catalyst (nested transform over a shrinking slice).
+
+    This is the join-free bucket pairing primitive: a bucket's candidate
+    pairs come from one collected array instead of a self-join, so the
+    expensive upstream (signatures/simhash) is computed once and no
+    duplicated join subtree exists. Caller guarantees size(ids) >= 2 (an
+    ANSI-mode guard: sequence(1, 0) would descend) and that the array is
+    capped (n elements emit n(n-1)/2 pairs in memory)."""
+    n = F.size(ids)
+    return F.flatten(
+        transform_u(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: transform_u(
+                F.slice(ids, i + 1, n - i),
+                lambda x, i=i: F.struct(
+                    F.element_at(ids, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
 
 
 # ----------------------------------------------------------------- minhash
@@ -117,7 +164,9 @@ def minhash_lsh_pairs(
     construction: a capped bucket means those docs are near-identical to
     >max_bucket others and will be caught by exact dedup instead)."""
     rows_per_band = num_hashes // bands
-    # materialize shingles as a column FIRST: minhash_signature references
+    # parallelize the map-side signature compute (see ensure_parallelism)
+    df = ensure_parallelism(df)
+    # materialize shingles as a column FIRST: the signature references
     # its input once per hash seed, and inlining word_shingles would make
     # Catalyst evaluate the normalize/split/shingle subtree num_hashes
     # times per row (measured 10x slowdown at 16 hashes)
@@ -125,21 +174,38 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("shingles"),
     )
-    sig = minhash_signature(F.col("shingles"), num_hashes, hash_fn)
-    band_hash = F.md5 if hash_fn == "md5" else F.xxhash64
-    with_bands = shingled.select(
-        "id",
-        *[
-            band_hash(
-                F.array_join(
-                    F.slice(sig, b * rows_per_band + 1, rows_per_band)
-                    .cast("array<string>"),
-                    "|",
-                )
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ],
-    )
+    if hash_fn == "md5":
+        def h1(h, s):
+            return F.md5(F.concat(F.lit(f"{h}:"), s))
+
+        band_hash = F.md5
+    else:
+        def h1(h, s):
+            return F.xxhash64(F.concat(F.lit(f"{h}:"), s))
+
+        band_hash = F.xxhash64
+
+    # Each band hash is built from ONLY its own rows_per_band seeds —
+    # never by slicing a full signature array. Slicing looks cleaner but
+    # Catalyst cannot CSE higher-order functions (expressions containing
+    # LambdaFunction are excluded from subexpression elimination), so a
+    # shared sig array inlines into every band projection and each of the
+    # num_hashes min-hash transforms gets evaluated `bands` times per row
+    # (measured: the dominant cost of the round-1 plan). The algebra is
+    # identical: band b covers seeds [b*r, (b+1)*r) either way, so md5
+    # oracle outputs are unchanged.
+    def band_col(b: int):
+        mins = [
+            F.array_min(
+                transform_u(F.col("shingles"), lambda s, h=h: h1(h, s))
+            )
+            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return band_hash(
+            F.array_join(F.array(*mins).cast("array<string>"), "|")
+        ).alias(f"band_{b}")
+
+    with_bands = shingled.select("id", *[band_col(b) for b in range(bands)])
     stacked = with_bands.selectExpr(
         "id",
         "stack({}, {}) as (band_no, bucket)".format(
@@ -147,27 +213,34 @@ def minhash_lsh_pairs(
             ", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
-    # cap degenerate buckets — window count instead of groupBy+join: one
-    # shuffle on (band_no, bucket), and the self-join below reuses the
-    # same partitioning (no extra exchange)
+    # NO self-join (round-2 redesign): Spark 4.1 plans a bucket self-join
+    # with either a BroadcastExchange or two independent shuffle subtrees
+    # — in both cases the scan→shingle→signature subtree is computed
+    # TWICE (exchange reuse does not fire across deduplicated self-join
+    # sides; verified empirically on a minimal window+self-join repro).
+    # Instead: ONE aggregation per (band_no, bucket) collects the id list
+    # and emits the (a < b) pairs with a nested Catalyst transform. The
+    # expensive signature stage runs exactly once, and the whole operator
+    # is 2 exchanges (bucket groupBy + final distinct). The window count
+    # BEFORE the groupBy drops degenerate buckets without materializing
+    # their arrays (same partitioning as the groupBy — no extra shuffle;
+    # the window's row buffer spills, an array would not).
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_no", "bucket")
     sized = (
         stacked.withColumn("bucket_n", F.count("*").over(w))
-        .filter(F.col("bucket_n") <= max_bucket)
+        .filter(
+            (F.col("bucket_n") <= max_bucket) & (F.col("bucket_n") >= 2)
+        )
         .drop("bucket_n")
     )
-    a = sized.alias("a")
-    b = sized.alias("b")
+    buckets = sized.groupBy("band_no", "bucket").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
 
@@ -250,6 +323,9 @@ def simhash_pairs(
     (linear) — the price of full recall at larger radii.
     Returns (id_a, id_b, hamming)."""
     layout = simhash_bands(max_hamming)
+    # simhash64 is the heaviest per-row expression in the engine (60 bit
+    # aggregates over the token hash array) — parallelize its map side
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh")
     )
@@ -270,18 +346,32 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("id", "sh", "band.band_no", "band.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    # join-free bucket pairing (see minhash_lsh_pairs): one groupBy per
+    # band key collects (id, sh) structs — array_sort orders by leading
+    # field, and id is unique, so pairs come out a.id < b.id — and the
+    # heavy simhash subtree is computed exactly once. The window count
+    # drops single-doc keys pre-collect (no pairs possible) and keeps
+    # the groupBy exchange as the only wide stage before the distinct.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_no", "key")
+    sized = (
+        banded.withColumn("n", F.count("*").over(w))
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    buckets = sized.groupBy("band_no", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("sh")))
+        ).alias("members")
+    )
+    p = F.col("p")
+    ham = F.bit_count(p.a.sh.bitwiseXOR(p.b.sh))
     return (
-        a.join(
-            b,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        buckets.select(F.explode(pair_structs(F.col("members"))).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            p.a.id.alias("id_a"),
+            p.b.id.alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -311,6 +401,7 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs — one shuffle on shingle, reused by the self-join.
     ``max_df=None`` disables the cap (pure exact; unsafe on corpora with
     ubiquitous boilerplate). Returns (id_a, id_b, jaccard≥threshold)."""
+    df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
@@ -325,14 +416,30 @@ def ngram_jaccard_pairs(
             .drop("df")
         )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # join-free shingle pairing (see minhash_lsh_pairs): collect the
+    # (df-capped, so bounded) id list per shingle and emit pairs with the
+    # nested-transform primitive — no self-join, no duplicated shingle
+    # subtree on the intersection side. |A∩B| = how many shingles emit
+    # the pair. (`sizes` is a second consumer of `sh` and does recompute
+    # the shingle explode — at warehouse scale materialize `sh` to a temp
+    # table to pay the scan once; the quadratic risk, not the linear
+    # rescan, is what kills at 100 TB.)
+    from pyspark.sql import Window as _W
+
+    per_shingle = (
+        sh.withColumn("n_ids", F.count("*").over(_W.partitionBy("shingle")))
+        .filter(F.col("n_ids") >= 2)
+        .drop("n_ids")
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+        per_shingle.select(
+            F.explode(pair_structs(F.col("ids"))).alias("p")
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+        )
         .agg(F.count("*").alias("inter"))
     )
     return (

@@ -93,3 +93,53 @@ def test_similarity_topk_uses_take_ordered(docs):
     assert "TakeOrderedAndProject" in formatted_plan(q), (
         "top-k should be a heap (TakeOrderedAndProject), not a full sort"
     )
+
+
+def test_pair_ops_are_join_free_single_scan(docs):
+    """Round-2 regression guard: the LSH/banding pair operators must plan
+    as ONE scan, ZERO joins (round 1 planned a bucket self-join whose
+    broadcast side recomputed the whole signature subtree — stage
+    efficiency 0.32 from 8→32 cores). Join-free = the expensive
+    shingle/signature/simhash compute exists exactly once in the plan."""
+    from lens_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs,
+    )
+    from lens_spark.plans.inspect import formatted_plan, plan_stats
+
+    mh = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    s = plan_stats(mh)
+    assert "Join" not in formatted_plan(mh)
+    assert s.scans == 1, f"signature subtree duplicated: {s.scans} scans"
+    # repartition (parallelism) + bucket groupBy + distinct
+    assert s.exchanges <= 3, f"exchanges={s.exchanges}"
+    assert s.python_stages == 0
+
+    sh = simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    s2 = plan_stats(sh)
+    assert "Join" not in formatted_plan(sh)
+    assert s2.scans == 1
+    assert s2.exchanges <= 3
+
+    # jaccard keeps two small aggregate joins (sizes), but the
+    # intersection side must not self-join on the exploded shingles
+    jc = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    txt = formatted_plan(jc)
+    import re
+
+    heads = re.findall(r"^\(\d+\) (\w+)", txt, re.M)
+    joins = [h for h in heads if "Join" in h]
+    assert len(joins) <= 2, f"unexpected joins: {joins}"
+
+
+def test_minhash_map_side_parallelism(spark):
+    """A single-file (1-partition) input must not serialize the signature
+    stage: ensure_parallelism widens narrow scans to 2x cores."""
+    from lens_spark.operators.dedup import ensure_parallelism
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    assert d.rdd.getNumPartitions() < 8  # precondition: narrow scan
+    widened = ensure_parallelism(d)
+    target = 2 * spark.sparkContext.defaultParallelism
+    assert widened.rdd.getNumPartitions() == target
+    # already-wide inputs pass through untouched (no coalesce at scale)
+    assert ensure_parallelism(widened).rdd.getNumPartitions() == target
