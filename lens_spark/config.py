@@ -59,7 +59,12 @@ class ExtractConfig:
     html_min_text_chars: int = 25
     html_fusion_window: int = 1
 
-    extractor_version: str = "lens-spark-0.1.0"
+    extractor_version: str = "lens-spark-0.2.0"
+
+    # Pin the per-doc `indexed` stamp (reference engine/engine.go:148:
+    # properties.indexed = time.Now() per doc) to a fixed literal — for
+    # deterministic fixtures/oracle comparisons. None = wall clock.
+    indexed_at: str | None = None
 
 
 @dataclass(frozen=True)

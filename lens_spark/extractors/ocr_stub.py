@@ -81,10 +81,94 @@ def ocr_image(content: bytes) -> str:
     return chunks["caption"]
 
 
+def resize_bilinear(img, out_h: int = 224, out_w: int = 224):
+    """TF ``ResizeBilinear`` with the legacy scaling the reference graph
+    uses (align_corners=False: src = dst * in/out, clamp at the edge) —
+    implemented from scratch in numpy so the preprocessing math is
+    testable without any ML stack (reference
+    analyzer/images/tensorflow.go:160-183 builds the same op graph).
+
+    img: (H, W, C) array; returns (out_h, out_w, C) float32."""
+    import numpy as np
+
+    img = np.asarray(img, dtype="float32")
+    in_h, in_w = img.shape[:2]
+    ys = np.arange(out_h) * (in_h / out_h)
+    xs = np.arange(out_w) * (in_w / out_w)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    return (top * (1 - wy) + bot * wy).astype("float32")
+
+
+# Inception-v5h input constants — reference tensorflow.go:160-164:
+# 224x224, (value - Mean) / Scale with Mean=117, Scale=1
+INCEPTION_HW = 224
+INCEPTION_MEAN = 117.0
+INCEPTION_SCALE = 1.0
+
+
+def preprocess_inception(img):
+    """(H, W, 3) uint8 image → (1, 224, 224, 3) float32 tensor exactly as
+    the reference graph feeds the Inception model: bilinear resize, then
+    (x - 117) / 1, then a batch dim (tensorflow.go:171-183)."""
+    r = resize_bilinear(img, INCEPTION_HW, INCEPTION_HW)
+    return ((r - INCEPTION_MEAN) / INCEPTION_SCALE)[None, ...]
+
+
+def _classify_real(content: bytes) -> str | None:
+    """Import-gated real-model path (reference runs an Inception-v5h TF
+    graph, tensorflow.go:72-91): decode → preprocess_inception → forward
+    pass → argmax → label line. Activates when onnxruntime + PIL are
+    installed AND ``LENS_INCEPTION_ONNX`` points at an exported model
+    (``LENS_INCEPTION_LABELS`` at the 1000-line label file, reference
+    analyzer/images/models/imagenet_comp_graph_label_strings.txt).
+    Returns None when the stack is absent — caller falls back to the
+    deterministic stub."""
+    import os
+
+    model_path = os.environ.get("LENS_INCEPTION_ONNX")
+    labels_path = os.environ.get("LENS_INCEPTION_LABELS")
+    if not model_path or not os.path.exists(model_path):
+        return None
+    try:  # pragma: no cover - ML stack not installed in this sandbox
+        import io
+
+        import numpy as np
+        import onnxruntime
+        from PIL import Image
+    except ImportError:
+        return None
+    img = np.asarray(  # pragma: no cover
+        Image.open(io.BytesIO(content)).convert("RGB"))
+    batch = preprocess_inception(img).astype("float32")  # pragma: no cover
+    sess = onnxruntime.InferenceSession(model_path)  # pragma: no cover
+    probs = sess.run(  # pragma: no cover
+        None, {sess.get_inputs()[0].name: batch})[0][0]
+    best = int(probs.argmax())  # pragma: no cover (tensorflow.go:88-101)
+    if labels_path and os.path.exists(labels_path):  # pragma: no cover
+        with open(labels_path) as f:
+            labels = [ln.rstrip("\n") for ln in f]
+        if best < len(labels):
+            return labels[best]
+    return LABELS[best % len(LABELS)]  # pragma: no cover
+
+
 def classify_image(content: bytes) -> str:
-    """Deterministic classifier keyword for an image payload."""
+    """Classifier keyword for an image payload (reference E10,
+    v2_util.go:78): real model when available (:func:`_classify_real`),
+    else a deterministic md5-pick stub — the reference's own service
+    tests stub this exact seam to a constant (v2_test.go:131)."""
     if not content:
         raise OcrError("invalid asset provided")
+    real = _classify_real(content)
+    if real is not None:
+        return real
     digest = hashlib.md5(content).digest()
     return LABELS[digest[0] % len(LABELS)]
 

@@ -20,11 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from lens_spark.config import ExtractConfig, DEFAULT
 from lens_spark.functions.hof import transform_u
 from lens_spark.functions.mime import category_for
 
 
-def assemble(good_spans: DataFrame) -> DataFrame:
+def assemble(good_spans: DataFrame,
+             cfg: ExtractConfig = DEFAULT) -> DataFrame:
     """good_spans: SPAN_OUT rows with error IS NULL (including the
     '__empty__' sentinel for zero-span docs). Join-free: one aggregation
     produces the final table; docs whose every span quarantined simply
@@ -69,6 +71,14 @@ def assemble(good_spans: DataFrame) -> DataFrame:
         ).alias("tags"),
     )
 
+    # per-doc index stamp (engine/engine.go:148: properties.indexed =
+    # time.Now() per doc; index.go:36-38). cfg.indexed_at pins a literal
+    # for deterministic fixtures/oracles; None = wall clock at run time.
+    indexed = (
+        F.to_timestamp(F.lit(cfg.indexed_at))
+        if cfg.indexed_at is not None
+        else F.current_timestamp()
+    )
     return agg.select(
         "doc_id",
         "spans",
@@ -77,4 +87,6 @@ def assemble(good_spans: DataFrame) -> DataFrame:
         category_for(F.col("mime_type")).alias("category"),
         F.coalesce("tags", F.array().cast("array<string>")).alias("tags"),
         "display_name",
+        indexed.alias("indexed"),
+        F.lit(cfg.extractor_version).alias("extractor_version"),
     )

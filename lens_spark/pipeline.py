@@ -94,6 +94,6 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> ExtractResult:
     quarantine = spans.filter(F.col("error").isNotNull()).select(
         "doc_id", "offset", "kind", "error"
     )
-    extracted = assemble(good)
+    extracted = assemble(good, cfg)
     return ExtractResult(extracted=extracted, quarantine=quarantine,
                          spans_flat=spans)

@@ -77,6 +77,11 @@ EXTRACTED = StructType(
         StructField("category", StringType()),
         StructField("tags", ArrayType(StringType())),
         StructField("display_name", StringType()),
+        # per-doc index stamp — DocData.properties.indexed
+        # (engine/engine.go:148 time.Now() per doc, engine/index.go:36-38)
+        # plus the version that produced it (resume/lineage parity)
+        StructField("indexed", TimestampType()),
+        StructField("extractor_version", StringType()),
     ]
 )
 

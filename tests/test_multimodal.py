@@ -57,3 +57,54 @@ def test_audio_stub():
     assert decode_audio(make_av_container("audio", [b"x"])) == [b"x"]
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF....WAVEfmt real wav")
+
+
+def test_inception_preprocessing_math():
+    """E10 preprocessing (reference tensorflow.go:160-183) verified
+    without any model: bilinear resize semantics (TF legacy scaling),
+    mean-117 normalization, batch shape."""
+    import numpy as np
+
+    from lens_spark.extractors.ocr_stub import (
+        INCEPTION_HW, INCEPTION_MEAN, preprocess_inception, resize_bilinear,
+    )
+
+    # identity resize: 224x224 in == out (scale 1, zero fractional weight)
+    img = np.arange(224 * 224 * 3, dtype="uint8").reshape(224, 224, 3)
+    out = resize_bilinear(img, 224, 224)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+    assert np.array_equal(out, img.astype("float32"))
+
+    # 2x2 -> 4x4 upscale, TF align_corners=False: src = dst * (2/4);
+    # row 0: src_y=0; row 1: src_y=0.5 -> halfway between input rows
+    tiny = np.array([[[0.0], [10.0]], [[20.0], [30.0]]], dtype="float32")
+    up = resize_bilinear(tiny, 4, 4)
+    assert up[0, 0, 0] == 0.0
+    assert up[0, 1, 0] == 5.0          # x=0.5 between 0 and 10
+    assert up[1, 0, 0] == 10.0         # y=0.5 between 0 and 20
+    assert up[1, 1, 0] == 15.0         # center of the 2x2 quad
+    # edge clamp: last row/col maps past the end -> clamped neighbor
+    assert up[3, 3, 0] == 30.0
+
+    # normalization: a constant-117 image becomes exactly zero
+    const = np.full((10, 10, 3), int(INCEPTION_MEAN), dtype="uint8")
+    batch = preprocess_inception(const)
+    assert batch.shape == (1, INCEPTION_HW, INCEPTION_HW, 3)
+    assert np.all(batch == 0.0)
+    # and a 200-valued image becomes 83 everywhere ((200-117)/1)
+    batch2 = preprocess_inception(np.full((7, 13, 3), 200, dtype="uint8"))
+    assert np.all(batch2 == 83.0)
+
+
+def test_classifier_stub_and_gate(monkeypatch):
+    """Without the ML stack the classifier is the deterministic md5 pick;
+    the real-model gate activates only when LENS_INCEPTION_ONNX exists."""
+    from lens_spark.extractors import ocr_stub
+
+    png = ocr_stub.make_png(caption="x")
+    a = ocr_stub.classify_image(png)
+    assert a in ocr_stub.LABELS
+    assert ocr_stub.classify_image(png) == a  # stable across calls
+    # pointing the env var at a missing file keeps the stub path
+    monkeypatch.setenv("LENS_INCEPTION_ONNX", "/nonexistent/model.onnx")
+    assert ocr_stub.classify_image(png) == a

@@ -48,7 +48,7 @@ def test_search_stays_jvm_side(docs):
 
     ext = docs.sparkSession.createDataFrame(
         [("a", [("text", "hello world", None, 1)],
-          "text/plain", "document", [], None)],
+          "text/plain", "document", [], None, None, "v")],
         schema=EXTRACTED,
     )
     q = search(ext, Query(required=["hello"]))

@@ -20,6 +20,9 @@ TEST_CONTENT = (
 )
 
 
+STAMP = __import__("datetime").datetime(2026, 1, 2, 3, 4, 5)
+
+
 @pytest.fixture(scope="module")
 def indexed(spark):
     # the analogue of the indexed testObj (engine_test.go:115-129)
@@ -31,6 +34,8 @@ def indexed(spark):
             "amazing startup",
             ["test", "object"],
             "my test object!",
+            STAMP,
+            "lens-spark-test",
         ),
         (
             "other",
@@ -39,6 +44,8 @@ def indexed(spark):
             "pdf",
             ["misc"],
             "other doc",
+            STAMP,
+            "lens-spark-test",
         ),
     ]
     return spark.createDataFrame(rows, schema=EXTRACTED)
@@ -80,7 +87,11 @@ def test_metadata_projection(indexed):
     assert row["mime_type"] == "text"
     assert row["category"] == "amazing startup"
     assert row["tags"] == ["test", "object"]
+    # properties.indexed projected like the reference's field list
+    # (engine/index.go:20-26 includes properties.indexed)
+    assert row["indexed"] == STAMP
     assert "content" not in row.asDict()
+    assert "extractor_version" not in row.asDict()  # not a search field
 
 
 def test_empty_query_rejected(indexed):
