@@ -45,11 +45,29 @@ def query_hash(q: Query) -> str:
     return hashlib.md5(payload.encode()).hexdigest()
 
 
-def valid_doc_id(col):
-    """S3 (source/planetary/utils.go:6-8 CID decode): UDF-free validity
-    check — non-empty, no whitespace, sane length. A full multibase CID
-    parse belongs in ingestion; the table key contract is what matters
-    here."""
+# CIDv0: base58btc-encoded sha2-256 multihash — always 46 chars starting
+# "Qm", base58 alphabet excludes 0, O, I, l. CIDv1: multibase prefix 'b'
+# (lowercase base32, RFC 4648 alphabet a-z2-7), the form IPFS emits by
+# default. This is the UDF-free regexp subset of go-cid's decode
+# (reference source/planetary/utils.go:6-8 → cid.Decode); exotic
+# multibases (z-base58 v1, f-hex) belong to ingestion-side validation.
+CID_V0_RE = r"Qm[1-9A-HJ-NP-Za-km-z]{44}"
+CID_V1_RE = r"b[a-z2-7]{8,112}"
+
+
+def valid_cid(col):
+    """S3 (source/planetary/utils.go:6-8): CID validity as a Catalyst
+    regexp — CIDv0 base58btc or CIDv1 base32."""
+    return col.isNotNull() & col.rlike(f"^({CID_V0_RE}|{CID_V1_RE})$")
+
+
+def valid_doc_id(col, require_cid: bool = False):
+    """Table-key validity. Default contract: non-empty, no whitespace,
+    sane length (the engine accepts any stable key). ``require_cid=True``
+    enforces the reference's CID decode (utils.go:6-8) for IPFS-shaped
+    corpora."""
+    if require_cid:
+        return valid_cid(col)
     return (
         col.isNotNull()
         & (F.length(col) > 0)
@@ -69,12 +87,13 @@ class LensV2:
         self.ckpt = LensTable(os.path.join(store_path, "checkpoint"))
 
     def index(self, docs: DataFrame, reindex: bool = False,
-              snapshot_id: str = "adhoc") -> int:
+              snapshot_id: str = "adhoc", require_cid: bool = False) -> int:
         """Index RPC (v2.go:97-140): extract + store. The IsIndexed guard
         (v2_util.go:23-25) is the resume anti-join; ``reindex`` bypasses
         it (engine.go:124-126). Invalid doc_ids are dropped like the CID
-        decode error path (utils.go:6-8)."""
-        docs = docs.filter(valid_doc_id(F.col("doc_id")))
+        decode error path (utils.go:6-8); ``require_cid=True`` applies
+        the full CID-shape check for IPFS corpora."""
+        docs = docs.filter(valid_doc_id(F.col("doc_id"), require_cid))
         return run_resumable(
             self.spark, docs, self.out, self.ckpt, snapshot_id,
             cfg=self.cfg, reindex=reindex,

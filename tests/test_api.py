@@ -72,3 +72,37 @@ def test_valid_doc_id_expr(spark):
     got = [r["doc_id"] for r in
            df.filter(valid_doc_id(F.col("doc_id"))).collect()]
     assert got == ["ok"]
+
+
+def test_valid_cid(spark):
+    """S3 CID shapes (source/planetary/utils.go:6-8 → go-cid decode):
+    real v0/v1 CIDs pass, malformed ones fail."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.api import valid_cid, valid_doc_id
+
+    cases = [
+        # the IPFS "hello world" CIDv0 and its CIDv1 base32 form
+        ("QmQPeNsJPyVWPFDVHb77w8G42Fvo15z4bG2X8D2GhfbSXc", True),
+        ("bafybeigdyrzt5sfp7udm7hu76uh7y26nf3efuylqabf3oclgtqy55fbzdi", True),
+        ("QmQPeNsJPyVWPFDVHb77w8G42Fvo15z4bG2X8D2GhfbSX", False),  # 45 ch
+        ("QmQPeNsJPyVWPFDVHb77w8G42Fvo15z4bG2X8D2GhfbS0c", False),  # '0'
+        ("qmQPeNsJPyVWPFDVHb77w8G42Fvo15z4bG2X8D2GhfbSXc", False),  # case
+        ("bafybeigdyrzt5sfp7udm7hu76uh7y26nf3efuylqabf3oclgtqy55fbzd1", False),  # '1' not base32
+        ("", False),
+        ("not a cid", False),
+        ("doc-123", False),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "doc_id string")
+    got = {
+        r["doc_id"]: r["ok"]
+        for r in df.select(
+            "doc_id", valid_cid(F.col("doc_id")).alias("ok")
+        ).collect()
+    }
+    for cid, want in cases:
+        assert got[cid] == want, cid
+    # default key contract still accepts non-CID stable keys
+    assert df.filter(valid_doc_id(F.col("doc_id"))).count() == len(
+        [c for c, _ in cases if c and " " not in c]
+    )

@@ -138,3 +138,73 @@ def test_driver_phrase_query_survives_empty_docs(spark, tmp_path):
         f"{d}/documents.parquet")
     got = entry.queries()["search_phrase"](spark, d).collect()
     assert [r["doc_id"] for r in got] == [3]
+
+
+def test_stop_word_analyzer(spark):
+    """bleve's standard analyzer drops Lucene's English stop set at index
+    time (engine/index.go:44); the opt-in flag reproduces that on both
+    content and query side."""
+    from lens_spark.operators.search import (
+        STOP_WORDS_EN, _analyze_py, analyze,
+    )
+
+    txt = "The quick fox and the lazy dog are not at home"
+    toks = spark.range(1).select(
+        analyze(F.lit(txt), remove_stop_words=True).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["quick", "fox", "lazy", "dog", "home"]
+    assert _analyze_py(txt, remove_stop_words=True) == toks
+    assert "the" in STOP_WORDS_EN and "with" in STOP_WORDS_EN
+
+
+def test_ranking_order_matches_hand_computed_tf(spark):
+    """Q7 ranking against a hand-computed tf fixture: score =
+    boost * hits / n_tokens (query.go:52 boost x100); expected order
+    derived by hand, not by re-running the engine."""
+    from lens_spark.schema import EXTRACTED
+
+    def doc(doc_id, text):
+        return (doc_id, [("text", text, None, 1)], "text/plain",
+                "document", [], None, STAMP, "v")
+
+    # hits/len: a=2/4=0.5, b=1/2=0.5, c=1/4=0.25, d=0 (filtered out)
+    rows = [
+        doc("a", "spark spark shuffle join"),
+        doc("b", "spark shuffle"),
+        doc("c", "spark alpha beta gamma"),
+        doc("d", "nothing relevant here either"),
+    ]
+    ext = spark.createDataFrame(rows, schema=EXTRACTED)
+    got = search(ext, Query(required=["spark"])).collect()
+    # a and b tie at 0.5 -> doc_id ascending tie-break; c third
+    assert [r["doc_id"] for r in got] == ["a", "b", "c"]
+    assert got[0]["score"] == pytest.approx(100 * 0.5)
+    assert got[1]["score"] == pytest.approx(100 * 0.5)
+    assert got[2]["score"] == pytest.approx(100 * 0.25)
+
+
+def test_max_score_normalization(indexed):
+    """MaxScore tracking (engine.go:190): normalized scores divide by the
+    set's max — top hit is exactly 1.0, order unchanged."""
+    from lens_spark.config import SearchConfig
+
+    cfg = SearchConfig(normalize_max_score=True)
+    rows = search(indexed, Query(required=["storage words"]), cfg).collect()
+    plain = search(indexed, Query(required=["storage words"])).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in plain]
+    assert rows[0]["score"] == pytest.approx(1.0)
+    assert all(0 < r["score"] <= 1.0 for r in rows)
+
+
+def test_search_deadline(indexed):
+    """engine.go:196-198: the 30 s context deadline — a deadline shorter
+    than any Spark job cancels the job group and raises."""
+    from lens_spark.config import SearchConfig
+    from lens_spark.operators.search import SearchDeadlineError
+
+    cfg = SearchConfig(deadline_s=0.001)
+    with pytest.raises(SearchDeadlineError):
+        search_or_raise(indexed, Query(tags=["test"]), cfg)
+    # and the engine default (engine.go:178): top_k pinned at 1000
+    assert SearchConfig().top_k == 1000
+    assert SearchConfig().deadline_s == 30
