@@ -286,6 +286,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "window_start", "event_type"
         )
 
+    def q_extract_full(spark, sf):
+        # The RICH extract path (E4-E14: mime dispatch, PDF text/OCR
+        # threshold, HTML boilerplate strip, image OCR/classify, media
+        # passthrough, ordered reassembly) over the deterministic fixture
+        # corpus, flattened to span rows. The oracle side is the FROZEN
+        # output of the pure-Python reference-semantics oracle
+        # (lens_spark/oracle.py, scripts/freeze_extract_oracle.py) — the
+        # distributed pipeline must reproduce it row-for-row.
+        from lens_spark.corpus import docs_to_spark, gen_docs
+        from lens_spark.pipeline import extract
+
+        docs = docs_to_spark(spark, gen_docs(200, seed=42))
+        res = extract(docs)
+        return (
+            res.extracted.select(
+                "doc_id",
+                "mime_type",
+                "category",
+                F.array_join("tags", "|").alias("tags_joined"),
+                F.explode("spans").alias("s"),
+            )
+            .select(
+                "doc_id",
+                F.col("s.order").alias("ord"),
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+                "mime_type",
+                "category",
+                "tags_joined",
+            )
+            .orderBy("doc_id", "ord")
+        )
+
     def q_lineage_counts(spark, sf):
         # M3/lineage analogue: per-bucket row counts with md5-derived
         # bucket (deterministic across engines, unlike partition ids)
@@ -325,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "events_window": q_events_window,
         "lineage_counts": q_lineage_counts,
+        "extract_full": q_extract_full,
     }
 
 
@@ -691,4 +726,14 @@ def oracle_sql() -> dict[str, str]:
     }
     out["dedup_simhash"] = out["dedup_simhash"].replace("__BANDS__",
                                                         bands_vals)
+    # rich extract path vs the frozen pure-Python oracle output
+    # (scripts/freeze_extract_oracle.py; column order mirrors the Spark
+    # side, values are what reference semantics demand)
+    fixture = "/root/repo/tests/fixtures/extract_full_expected.parquet"
+    out["extract_full"] = f"""
+        select doc_id, ord, kind, text, media_ref,
+               mime_type, category, tags_joined
+        from read_parquet('{fixture}')
+        order by doc_id, ord
+    """
     return out
