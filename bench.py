@@ -140,13 +140,31 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
+    # dedup stages measure on the same BENCH_MULT-replicated corpus as the
+    # extract headline: at the base 5k docs the stage is fixed-overhead-
+    # dominated and NO engine scales on it (scaling evidence needs a
+    # compute-dominated region; distinct doc_id ranges keep dedup honest)
+    mult = int(os.environ.get("BENCH_MULT", "1"))
+    docs_dedup = docs_flat.select("doc_id", "text")
+    if mult > 1:
+        parts = [
+            docs_flat.select(
+                (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+                "text",
+            )
+            for k in range(mult)
+        ]
+        docs_dedup = parts[0]
+        for p in parts[1:]:
+            docs_dedup = docs_dedup.unionByName(p)
+
     timed("dedup_minhash_lsh",
-          lambda: minhash_lsh_pairs(docs_flat, "doc_id", "text",
+          lambda: minhash_lsh_pairs(docs_dedup, "doc_id", "text",
                                     num_hashes=16, bands=4,
                                     hash_fn="xxhash64").count())
     timed("dedup_exact", lambda: __import__(
         "lens_spark.operators.dedup", fromlist=["exact_dedup"]
-    ).exact_dedup(docs_flat, "doc_id", "text").count())
+    ).exact_dedup(docs_dedup, "doc_id", "text").count())
     timed("ann_cosine_topk",
           lambda: cosine_topk(emb, "vec_id", "embedding",
                               entrymod._query_vec(), k=25).collect())

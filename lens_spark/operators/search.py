@@ -102,18 +102,24 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
     """CONTENT-side analyzer — the DataFrame analogue of bleve's standard
     analyzer used at index time (word tokenizer + lowercase;
     engine/index.go:44 default text mapping): split on any run of
-    non-alphanumerics, drop empties. The character class is ASCII
-    ``[^0-9a-zA-Z]+`` — deliberately identical to the query-side
+    non-alphanumerics, drop empties. The separator class is ASCII
+    non-alphanumeric — deliberately identical to the query-side
     ``_analyze_py`` and the DuckDB oracle SQL, so content and query
     tokenize the same way on any corpus (a Unicode class on one side only
     would silently break phrase matches on non-ASCII text).
+
+    Written as ``[\\W_]+`` (Java ``\\W`` is ASCII ``[^a-zA-Z0-9_]``
+    unless UNICODE_CHARACTER_CLASS is set, so ∪ {_} = exactly
+    non-[a-zA-Z0-9]) because the equivalent explicit range class
+    ``[^0-9a-zA-Z]+`` is ~12x slower in the JVM regex engine — measured
+    on the bench corpus: 24.7 s vs 2.0 s for the same 30.85M tokens.
 
     ``remove_stop_words=True`` additionally drops bleve/Lucene's standard
     English stop set (bleve's ``en`` analyzer token filter) — see
     ``STOP_WORDS_EN``; the default analyzer used for match/no-match parity
     keeps them (scores differ from bleve either way, documented)."""
     toks = filter_u(
-        F.split(F.lower(col), r"[^0-9a-zA-Z]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(col), r"[\W_]+"), lambda t: F.length(t) > 0
     )
     if remove_stop_words:
         toks = filter_u(toks, lambda t: ~t.isin(*sorted(STOP_WORDS_EN)))
@@ -121,11 +127,14 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
 
 
 def _analyze_py(text: str, remove_stop_words: bool = False) -> list[str]:
-    """Query-side analyzer — same character class and stop handling as the
-    content-side ``analyze`` (asymmetry would silently break matches)."""
+    """Query-side analyzer — same separator class and stop handling as
+    the content-side ``analyze`` (asymmetry would silently break
+    matches). re.ASCII pins Python's ``\\W`` to the Java default
+    (ASCII word chars)."""
     import re as _re
 
-    toks = [t for t in _re.split(r"[^0-9a-zA-Z]+", text.lower()) if t]
+    toks = [t for t in
+            _re.split(r"[\W_]+", text.lower(), flags=_re.ASCII) if t]
     if remove_stop_words:
         toks = [t for t in toks if t not in STOP_WORDS_EN]
     return toks
@@ -141,6 +150,21 @@ def doc_content(extracted: DataFrame) -> DataFrame:
                         lambda s: F.coalesce(s.text, F.lit(""))),
             " ",
         ),
+    )
+
+
+def prepare_search_index(extracted: DataFrame,
+                         cfg: SearchConfig = DEFAULT_SEARCH) -> DataFrame:
+    """Write-time analysis: materialize the `content` and `tokens`
+    columns once so queries don't re-tokenize every document per search
+    (bleve does exactly this — analysis happens at index time,
+    engine/index.go:40-60; re-analyzing per query is the DataFrame-layer
+    shortcut that stops being acceptable at 10^9 docs). Store the result
+    (e.g. ``table.merge_upsert(prepare_search_index(df), 'doc_id')``);
+    ``search()`` detects the materialized `tokens` column and skips
+    per-query analysis."""
+    return doc_content(extracted).withColumn(
+        "tokens", analyze(F.col("content"), cfg.remove_stop_words)
     )
 
 
@@ -195,9 +219,12 @@ def search(
             "no query or search options provided"  # v2.go:150-158
         )
 
-    df = doc_content(extracted).withColumn(
-        "tokens", analyze(F.col("content"), cfg.remove_stop_words)
-    )
+    # prefer a write-time token column (prepare_search_index) — analysis
+    # per query is linear in corpus size and pure waste when repeated
+    if "tokens" in extracted.columns:
+        df = extracted
+    else:
+        df = prepare_search_index(extracted, cfg)
 
     clauses: list[Column] = []
     score: Column = F.lit(0.0)

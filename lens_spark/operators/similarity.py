@@ -21,6 +21,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lens_spark.functions.hof import aggregate_u, zip_with_u
+from lens_spark.operators.dedup import ensure_parallelism
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -55,8 +56,11 @@ def cosine_topk(
 
     Returns (id, score) ordered desc, id asc tie-break (deterministic)."""
     qarr = F.array(*[F.lit(float(x)) for x in query])
+    # the per-row dot product is the map-side cost — widen narrow scans
+    # so it parallelizes (see dedup.ensure_parallelism)
     return (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.col(id_col).alias("id"),
             F.round(cosine(F.col(vec_col).cast("array<double>"), qarr), 6)
             .alias("score"),
@@ -142,9 +146,11 @@ def embedding_neardup_pairs(
     on one bucket key trades recall for never-quadratic cost; raise
     num_planes for tighter buckets on bigger corpora."""
     if dim is None:
+        # one-row probe — fine interactively; pipelines should pass `dim`
+        # so the plan needs no pre-action (VERDICT r1 note)
         dim = len(df.select(vec_col).first()[0])
     planes = [hyperplane_signs(p, dim) for p in range(num_planes)]
-    with_b = df.select(
+    with_b = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

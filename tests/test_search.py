@@ -208,3 +208,21 @@ def test_search_deadline(indexed):
     # and the engine default (engine.go:178): top_k pinned at 1000
     assert SearchConfig().top_k == 1000
     assert SearchConfig().deadline_s == 30
+
+
+def test_prepared_index_skips_reanalysis(spark, indexed, tmp_path):
+    """Write-time token materialization: identical results, and the
+    search plan over a STORED prepared index contains no tokenizer split
+    (the analysis happened at index time, like bleve)."""
+    from lens_spark.operators.search import prepare_search_index
+    from lens_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "prepared")
+    prepare_search_index(indexed).write.parquet(path)
+    prepared = spark.read.parquet(path)
+    q = Query(required=["storage words"])
+    a = [(r["doc_id"], r["score"]) for r in search(indexed, q).collect()]
+    b = [(r["doc_id"], r["score"]) for r in search(prepared, q).collect()]
+    assert a == b
+    plan = formatted_plan(search(prepared, q))
+    assert "split(" not in plan  # no re-tokenization at query time
