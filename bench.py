@@ -90,6 +90,10 @@ def main() -> None:
 
     warm_runs = int(os.environ.get("BENCH_WARM", "1"))
     agg = os.environ.get("BENCH_AGG", "median")  # median | min
+    # BENCH_ONLY=extract,dedup_minhash_lsh limits to named queries —
+    # used by the paired scaling harness to keep pair duration short
+    only = os.environ.get("BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
 
     def _cpu():
         with open("/proc/stat") as f:
@@ -97,6 +101,8 @@ def main() -> None:
         return {"user": v[0], "system": v[2], "steal": v[7]}
 
     def timed(name: str, fn, reps: int = 1) -> None:
+        if only_set is not None and name not in only_set:
+            return
         for _ in range(warm_runs):  # discarded warm runs (JIT, codegen,
             fn()                    # python workers, page cache)
         samples, cpus = [], []
@@ -134,7 +140,8 @@ def main() -> None:
 
     timed("extract", run_extract,
           reps=int(os.environ.get("BENCH_REPS", "3")))
-    extra["docs_per_sec"] = round(n_docs / timings["extract"], 2)
+    if "extract" in timings:
+        extra["docs_per_sec"] = round(n_docs / timings["extract"], 2)
 
     docs_flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -172,10 +179,11 @@ def main() -> None:
           lambda: windowed_event_counts(events).count())
 
     # search over the extracted table (content flatten + clause eval)
-    ext = spark.read.parquet(out_path)
-    timed("search_required",
-          lambda: search(ext, Query(required=["merge shuffle vector"]))
-          .count())
+    if only_set is None or "search_required" in only_set:
+        ext = spark.read.parquet(out_path)
+        timed("search_required",
+              lambda: search(ext, Query(required=["merge shuffle vector"]))
+              .count())
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

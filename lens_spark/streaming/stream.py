@@ -61,6 +61,61 @@ def stream_extract(
     return writer.start()
 
 
+def first_seen_filter(
+    stream_df: DataFrame,
+    key_col: str,
+    order_col: str,
+    output_schema,
+):
+    """Custom stateful streaming operator: emit each key's FIRST row,
+    drop every later duplicate — streaming exact-dedup via
+    ``applyInPandasWithState`` (Arrow-batched per-key state, the Spark
+    primitive for operators the built-in window/watermark model can't
+    express).
+
+    Semantics: the first micro-batch in which a key appears wins; within
+    that batch the row with the smallest ``order_col`` is emitted
+    (deterministic). State per key is a single boolean — O(distinct keys)
+    state, no row retention (contrast ``dropDuplicates`` on a stream,
+    which is the same idea but built-in; this operator exists as the
+    extension point for richer state, e.g. content fingerprints or
+    per-key counters).
+
+    At 10^12 docs the state store is the constraint: use RocksDB state
+    store (``spark.sql.streaming.stateStore.providerClass``) and a
+    watermark-based state TTL if keys are time-bounded.
+
+    ``output_schema``: the stream's schema (StructType or DDL string) —
+    output rows are input rows, unchanged."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:  # drain: key already emitted in a prior batch
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(order_col).iloc[[0]]
+            if first is None or (
+                cand[order_col].iloc[0] < first[order_col].iloc[0]
+            ):
+                first = cand
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -97,3 +97,48 @@ def test_windowed_streaming_with_watermark(spark, tmp_path):
     # window closed once the 03:50 event advanced the watermark past 02:00
     got = spark.sql("select * from winagg").collect()
     assert {r["window_start"].hour for r in got} == {0}
+
+
+def test_first_seen_filter_stateful_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streaming
+    exact-dedup — first batch wins across batches, min(order) wins within
+    a batch, per-key state survives between micro-batches."""
+    import time
+
+    from lens_spark.streaming.stream import first_seen_filter
+
+    src = str(tmp_path / "src")
+    # batch 1: doc a (two rows, order 2 then 1 -> min order emitted), doc b
+    spark.createDataFrame(
+        [("a", 2, "a-first-batch-o2"), ("a", 1, "a-first-batch-o1"),
+         ("b", 5, "b-first")],
+        "doc_id string, ord int, payload string",
+    ).coalesce(1).write.parquet(src + "/f1")
+    # batch 2: duplicate of a (must be dropped by state), new doc c
+    spark.createDataFrame(
+        [("a", 0, "a-second-batch"), ("c", 9, "c-first")],
+        "doc_id string, ord int, payload string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id string, ord int, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = first_seen_filter(
+        stream, "doc_id", "ord", "doc_id string, ord int, payload string"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("fsf")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("select * from fsf").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    # within-batch determinism: min(ord) row of the first batch
+    assert rows["a"]["payload"] in ("a-first-batch-o1", "a-second-batch")
+    # cross-batch state: if file order put f1 first, the dup was dropped
+    # (glob order is lexicographic: f1 before f2 -> a-first-batch-o1)
+    assert rows["a"]["payload"] == "a-first-batch-o1"
+    assert rows["a"]["ord"] == 1
