@@ -240,6 +240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_lsh_topk(_emb(spark, sf), "vec_id", "embedding", q,
                             k=25, num_planes=4)
 
+    def q_ann_ivf(spark, sf):
+        # IVF-flat: deterministic k-means on an id-ordered sample (both
+        # engines embed identical centroid literals; see
+        # ivf_centroids_from_parquet), nprobe nearest lists scanned
+        from lens_spark.operators.similarity import (
+            ann_ivf_topk, train_ivf_centroids,
+        )
+
+        emb = _emb(spark, sf)
+        cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                    nlist=8, sample=256)
+        return ann_ivf_topk(emb, "vec_id", "embedding", _query_vec(),
+                            cents, k=25, nprobe=2)
+
     def q_emb_neardup(spark, sf):
         return embedding_neardup_pairs(
             _emb(spark, sf), "vec_id", "embedding",
@@ -352,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "embedding_neardup": q_emb_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
@@ -457,6 +472,31 @@ def oracle_sql() -> dict[str, str]:
     sw_ratio = (
         f"len(list_filter({low_toks}, t -> list_contains([{en_sw}], t)))"
         f" / greatest(len({low_toks}), 1)"
+    )
+
+    # IVF centroids: trained by the Spark-free twin of the operator's
+    # trainer on the SAME parquet (driver compares at sf0.01); both
+    # engines embed identical rounded literals, and every distance is a
+    # sequential float64 sum in the same element order so assignment
+    # ties cannot diverge
+    from lens_spark.operators.similarity import ivf_centroids_from_parquet
+
+    ivf_cents = ivf_centroids_from_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", nlist=8, sample=256
+    )
+    qv_list = _query_vec()
+    ivf_d2 = [(sum((a - b) ** 2 for a, b in zip(qv_list, c)), i)
+              for i, c in enumerate(ivf_cents)]
+    ivf_probes = ", ".join(str(i) for _, i in sorted(ivf_d2)[:2])
+
+    def _sql_vec(v: list[float]) -> str:
+        return "[" + ", ".join(str(x) for x in v) + "]"
+
+    ivf_assign_structs = ", ".join(
+        "struct_pack(d2 := list_sum(list_transform(range(1, 65), "
+        f"j -> (e[j] - ({_sql_vec(c)}::DOUBLE[])[j]) * "
+        f"(e[j] - ({_sql_vec(c)}::DOUBLE[])[j]))), idx := {i})"
+        for i, c in enumerate(ivf_cents)
     )
 
     # simhash band layout: generated from the SAME helper the Spark
@@ -662,6 +702,24 @@ def oracle_sql() -> dict[str, str]:
                                                 {qv}::DOUBLE[])), 1e-12),
                      6)::double as score
             from b where bucket = {qbucket}
+            order by score desc, id asc limit 25
+        """,
+        "ann_ivf_topk": f"""
+            with c as (
+              select vec_id as id, embedding::DOUBLE[] as e
+              from embeddings
+            ), a as (
+              select id, e,
+                     (list_sort([{ivf_assign_structs}]))[1].idx as list_id
+              from c
+            )
+            select id,
+                   round(list_dot_product(e, {qv}::DOUBLE[])
+                     / greatest(sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product({qv}::DOUBLE[],
+                                                {qv}::DOUBLE[])), 1e-12),
+                     6)::double as score
+            from a where list_id in ({ivf_probes})
             order by score desc, id asc limit 25
         """,
         "embedding_neardup": f"""

@@ -132,6 +132,127 @@ def ann_lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 8,
+    sample: int = 256,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic IVF training: k-means over a bounded, id-ordered
+    sample. The sample collect is a BOUNDED driver-side step (`sample`
+    rows, not the corpus) — IVF training is inherently a small offline
+    step even at 100 TB (FAISS trains on a sample too); assignment and
+    probing below stay fully distributed.
+
+    Determinism: sample = first `sample` rows by id; k-means init = every
+    (sample//nlist)-th sampled vector; fixed `iters` Lloyd iterations,
+    ties broken by lowest centroid index. Same inputs → same centroids →
+    the centroid literals embed identically in the Spark plan and the
+    DuckDB oracle SQL."""
+    import numpy as np
+
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+            .collect())
+    X = np.array([list(r[1]) for r in rows], dtype="float64")
+    return _kmeans(X, nlist, iters)
+
+
+def ivf_centroids_from_parquet(
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 8,
+    sample: int = 256,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Spark-free twin of :func:`train_ivf_centroids` (pandas read of the
+    same parquet, same id-ordered sample, same k-means core) — used by
+    the DuckDB oracle generator so both engines embed identical centroid
+    literals."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = (pd.read_parquet(path, columns=[id_col, vec_col])
+           .sort_values(id_col).head(sample))
+    X = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+    return _kmeans(X, nlist, iters)
+
+
+def _kmeans(X, nlist: int, iters: int) -> list[list[float]]:
+    if len(X) < nlist:
+        raise ValueError(f"sample {len(X)} < nlist {nlist}")
+    step = len(X) // nlist
+    C = X[::step][:nlist].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        for c in range(nlist):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[round(float(v), 6) for v in c] for c in C]
+
+
+def ivf_list_id(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Inverted-list assignment: argmin_c L2(vec, c), ties to the lowest
+    centroid index — pure Catalyst (min over (distance, idx) structs)."""
+    cands = [
+        F.struct(
+            aggregate_u(
+                zip_with_u(
+                    vec_col.cast("array<double>"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(i).alias("idx"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.least(*cands)["idx"].cast("int")
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: scan only the `nprobe` inverted lists nearest the
+    query (L2 to centroid), brute-force cosine inside them.
+
+    The 100 TB shape: store the table partitioned by `ivf_list_id` so a
+    query prunes to nprobe partitions (same storage trick as the
+    hyperplane buckets, but with data-driven cells — better recall on
+    clustered embeddings). Returns (id, score) like the other top-ks."""
+    import numpy as np
+
+    q = np.array(query, dtype="float64")
+    d2 = [(((q - np.array(c)) ** 2).sum(), i)
+          for i, c in enumerate(centroids)]
+    probes = [i for _, i in sorted(d2)[:nprobe]]
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        ensure_parallelism(df)
+        .withColumn("list_id", ivf_list_id(F.col(vec_col), centroids))
+        .filter(F.col("list_id").isin(probes))
+        .select(
+            F.col(id_col).alias("id"),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qarr), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -229,3 +229,46 @@ def test_jaccard_cap_consistent_universe(docs):
     b = sorted(map(tuple, ngram_jaccard_pairs(
         docs, "id", "text", threshold=0.5, max_df=100).collect()))
     assert a == b
+
+
+def test_ivf_training_and_probe(spark, tmp_path):
+    """IVF-flat ANN: deterministic k-means (Spark trainer == Spark-free
+    parquet twin), argmin assignment with lowest-index ties, nprobe
+    pruning keeps the right cluster."""
+    from lens_spark.operators.similarity import (
+        ann_ivf_topk, ivf_centroids_from_parquet, ivf_list_id,
+        train_ivf_centroids,
+    )
+
+    # two well-separated clusters in 4-d
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(100 + i, [0.0, 0.0, -10.0 - (i % 3) * 0.1, 0.0])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = train_ivf_centroids(df, "vec_id", "embedding", nlist=2,
+                                sample=40)
+    assert train_ivf_centroids(df, "vec_id", "embedding", nlist=2,
+                               sample=40) == cents  # deterministic
+
+    path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.parquet(path)
+    twin = ivf_centroids_from_parquet(path, nlist=2, sample=40)
+    assert twin == cents  # Spark-free oracle twin trains identically
+
+    # assignment: every row lands in the centroid of its own cluster
+    assigned = df.select(
+        "vec_id",
+        ivf_list_id(F.col("embedding"), cents).alias("list_id"),
+    ).collect()
+    by_cluster = {r["vec_id"] < 100: {a["list_id"] for a in assigned
+                  if (a["vec_id"] < 100) == (r["vec_id"] < 100)}
+                  for r in assigned}
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert by_cluster[True] != by_cluster[False]
+
+    # probing: query near cluster A with nprobe=1 sees only A members
+    got = ann_ivf_topk(df, "vec_id", "embedding", [10.0, 0.0, 0.0, 0.0],
+                       cents, k=5, nprobe=1).collect()
+    assert len(got) == 5
+    assert all(r["id"] < 100 for r in got)
+    assert got[0]["score"] == 1.0
