@@ -85,6 +85,10 @@ class LensV2:
         self.cfg = cfg
         self.out = LensTable(os.path.join(store_path, "extracted"))
         self.ckpt = LensTable(os.path.join(store_path, "checkpoint"))
+        # failed spans land here instead of failing the RPC the way the
+        # reference does per doc (v2_util.go:62-65,94) — batch jobs must
+        # keep the error inspectable without dying
+        self.quarantine = LensTable(os.path.join(store_path, "quarantine"))
 
     def index(self, docs: DataFrame, reindex: bool = False,
               snapshot_id: str = "adhoc", require_cid: bool = False) -> int:
@@ -97,6 +101,7 @@ class LensV2:
         return run_resumable(
             self.spark, docs, self.out, self.ckpt, snapshot_id,
             cfg=self.cfg, reindex=reindex,
+            quarantine_table=self.quarantine,
         )
 
     def is_indexed(self, doc_id: str) -> bool:

@@ -72,11 +72,18 @@ def run_resumable(
     input_snapshot_id: str,
     cfg: ExtractConfig = DEFAULT,
     reindex: bool = False,
+    quarantine_table=None,
 ):
     """One resumable extraction increment:
 
     pending = docs ⟕̸ out_table  →  extract  →  MERGE into out_table
-    → append lineage to checkpoint_table.
+    → append lineage to checkpoint_table [→ append quarantine rows].
+
+    The reference surfaces a failed magnify as the RPC error
+    (v2_util.go:62-65); the batch analogue is the quarantine table — a
+    bad span must be inspectable after the job, not lost. Pass
+    ``quarantine_table`` (LensTable) to persist them; None preserves the
+    write-nothing behavior.
 
     Returns the number of documents extracted in this increment."""
     from lens_spark.pipeline import extract
@@ -92,5 +99,11 @@ def run_resumable(
     checkpoint_table.append(
         lineage_rows(result, input_snapshot_id, cfg)
     )
+    if quarantine_table is not None:
+        q = res.quarantine.withColumn(
+            "input_snapshot_id", F.lit(input_snapshot_id)
+        )
+        if not q.isEmpty():
+            quarantine_table.append(q)
     result.unpersist()
     return n

@@ -106,3 +106,29 @@ def test_valid_cid(spark):
     assert df.filter(valid_doc_id(F.col("doc_id"))).count() == len(
         [c for c, _ in cases if c and " " not in c]
     )
+
+
+def test_quarantine_persisted_via_api(spark, lens):
+    """A bad span never kills the job (reference errors per RPC,
+    v2_util.go:94) — it must land in the quarantine table, tagged with
+    the input snapshot, inspectable after the run."""
+    rows = gen_docs(4, seed=21, with_edge_rows=False)
+    import base64
+
+    ogg = base64.b64encode(b"OggS\x00\x02" + b"\x00" * 40).decode()
+    rows.append({
+        "doc_id": "doc-bad-kind",
+        "spans": [
+            {"kind": "text", "text": "fine text span",
+             "media_ref": None, "offset": 1},
+            # sniffs as audio/ogg → unsupported family → quarantine
+            {"kind": "audio", "text": ogg, "media_ref": None, "offset": 2},
+        ],
+    })
+    n = lens.index(docs_to_spark(spark, rows), snapshot_id="snap-q")
+    assert n == 5  # the doc still indexes (its text span succeeded)
+    q = lens.quarantine.read(spark).collect()
+    assert len(q) == 1
+    assert q[0]["doc_id"] == "doc-bad-kind"
+    assert q[0]["error"] == "unsupported content type for indexing"
+    assert q[0]["input_snapshot_id"] == "snap-q"
