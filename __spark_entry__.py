@@ -295,6 +295,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_winnow(spark, sf):
+        # winnowing (rolling-hash k-gram) fingerprints, exploded to rows
+        # for element-wise value hashing
+        from lens_spark.functions.text import winnow_fingerprints
+
+        d = _docs(spark, sf).filter(F.col("doc_id") < 100)
+        return (
+            d.select(
+                "doc_id",
+                F.explode(
+                    winnow_fingerprints(F.col("text"), k=5, w=4)
+                ).alias("fp"),
+            )
+            .orderBy("doc_id", "fp")
+        )
+
     def q_events_window(spark, sf):
         return windowed_event_counts(_events(spark, sf)).orderBy(
             "window_start", "event_type"
@@ -372,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
+        "doc_winnow": q_winnow,
         "events_window": q_events_window,
         "lineage_counts": q_lineage_counts,
         "extract_full": q_extract_full,
@@ -764,6 +781,27 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             select doc_id, md5({norm}) as fp
             from documents order by doc_id
+        """,
+        "doc_winnow": f"""
+            with t as (
+              select doc_id, {norm} as nt from documents where doc_id < 100
+            ), g as (
+              select doc_id,
+                case when length(nt) >= 5 then
+                  [('0x' || substr(md5(substr(nt, i, 5)), 1, 15))::bigint
+                   for i in range(1, greatest(length(nt) - 4, 1) + 1)]
+                else [('0x' || substr(md5(nt), 1, 15))::bigint] end as h
+              from t
+            ), sel as (
+              select doc_id,
+                case when len(h) >= 4 then
+                  [list_min(h[j:j+3])
+                   for j in range(1, greatest(len(h) - 3, 1) + 1)]
+                else [list_min(h)] end as s
+              from g
+            )
+            select doc_id, unnest(list_sort(list_distinct(s))) as fp
+            from sel order by doc_id, fp
         """,
         "events_window": """
             select time_bucket(interval '1 hour', ts) as window_start,

@@ -114,3 +114,50 @@ def normalize_text(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS scheme): the rolling-hash document fingerprint that guarantees
+    any match of length ≥ w+k-1 shares a selected hash.
+
+    Pure Catalyst: char k-grams of the normalized text → 60-bit hash per
+    gram (md5-prefix, same bit-reproducible form the simhash uses, so the
+    DuckDB oracle matches) → per window of w consecutive gram hashes keep
+    the minimum → sorted distinct selected hashes.
+
+    O(n·w) per doc via slice-min (the classic O(n) deque doesn't exist as
+    a Catalyst primitive; w is small, 4-8, so the constant is fine) —
+    entirely JVM-side, no shuffle, no Python."""
+    from lens_spark.functions.hof import transform_u
+
+    t = normalize_text(col)
+    n = F.length(t)
+    # substring with a COLUMN start position needs the SQL function
+    # (F.substring requires literal positions) — call_function it
+    grams = F.when(
+        n >= k,
+        transform_u(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.call_function("substring", t, i, F.lit(k))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(
+        F.array(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        )
+    )
+    m = F.size(grams)
+    selected = F.when(
+        m >= w,
+        transform_u(
+            F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_sort(F.array_distinct(selected))

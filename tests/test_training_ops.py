@@ -272,3 +272,39 @@ def test_ivf_training_and_probe(spark, tmp_path):
     assert len(got) == 5
     assert all(r["id"] < 100 for r in got)
     assert got[0]["score"] == 1.0
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing property (SIGMOD'03): two documents sharing a substring
+    of length >= w + k - 1 share at least one selected fingerprint; and
+    the scheme is deterministic."""
+    from lens_spark.functions.text import winnow_fingerprints
+
+    shared = "the common passage appears verbatim in both documents"
+    rows = [
+        (1, "left preamble AAA " + shared + " right tail one"),
+        (2, "totally different opening " + shared + " and ending two"),
+        (3, "no overlap here at all just unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("text"), k=5, w=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared passage must share a fingerprint"
+    overlap_12 = len(fps[1] & fps[2])
+    overlap_13 = len(fps[1] & fps[3])
+    assert overlap_12 > overlap_13  # related docs overlap more
+    # deterministic
+    again = df.select(
+        "id", winnow_fingerprints(F.col("text"), k=5, w=4).alias("fp")
+    ).collect()
+    assert {r["id"]: set(r["fp"]) for r in again} == fps
+    # short-text degenerate case: still exactly one fingerprint, no error
+    tiny = spark.createDataFrame([(9, "ab")], "id int, text string")
+    got = tiny.select(
+        winnow_fingerprints(F.col("text"), k=5, w=4).alias("fp")
+    ).collect()[0]["fp"]
+    assert len(got) == 1
