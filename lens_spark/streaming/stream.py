@@ -27,11 +27,13 @@ def stream_extract(
     checkpoint_dir: str,
     cfg: ExtractConfig = DEFAULT,
     trigger_once: bool = True,
+    quarantine_table=None,
 ):
     """Streaming extraction: parquet-dir source → foreachBatch(extract +
-    MERGE + lineage). `trigger_once` processes available data and stops
-    (test/backfill mode); otherwise runs continuously at a 5 s trigger —
-    the reference queue's default flush rate (queue.go:58-60)."""
+    MERGE + lineage [+ quarantine]). `trigger_once` processes available
+    data and stops (test/backfill mode); otherwise runs continuously at a
+    5 s trigger — the reference queue's default flush rate
+    (queue.go:58-60)."""
     from lens_spark.operators.resume import lineage_rows
     from lens_spark.pipeline import extract
     from lens_spark.schema import DOCUMENTS
@@ -49,6 +51,12 @@ def stream_extract(
         result = res.extracted.cache()
         out_table.merge_upsert(result, "doc_id")
         ckpt_table.append(lineage_rows(result, f"stream-batch-{batch_id}", cfg))
+        if quarantine_table is not None:
+            q = res.quarantine.withColumn(
+                "input_snapshot_id", F.lit(f"stream-batch-{batch_id}")
+            )
+            if not q.isEmpty():
+                quarantine_table.append(q)
         result.unpersist()
 
     writer = src.writeStream.foreachBatch(process).option(
