@@ -255,9 +255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             cents, k=25, nprobe=2)
 
     def q_emb_neardup(spark, sf):
+        # max_bucket=40 (< the 500-row table) keeps the degenerate-bucket
+        # cap a LIVE code path in the correctness gate (mirrored in the
+        # oracle's qualify clause), like jaccard's max_df=150
         return embedding_neardup_pairs(
             _emb(spark, sf), "vec_id", "embedding",
-            threshold=0.40, num_planes=4, dim=64,
+            threshold=0.40, num_planes=4, dim=64, max_bucket=40,
         ).orderBy("id_a", "id_b")
 
     def q_lang_id(spark, sf):
@@ -681,10 +684,14 @@ def oracle_sql() -> dict[str, str]:
               group by h.doc_id, b.b
             ), sim as (
               select doc_id, sum(bit)::bigint as sh from bits group by doc_id
-            ), banded as (
+            ), banded0 as (
               select doc_id, sh, b_no as band_no,
                      (sh >> b_off) & b_mask as key
               from sim, (values __BANDS__) bn(b_no, b_off, b_mask)
+            ), banded as (
+              -- hot-band-key cap (mirror of max_bucket=200)
+              select * from banded0
+              qualify count(*) over (partition by band_no, key) <= 200
             )
             select distinct a.doc_id as id_a, b.doc_id as id_b,
                    bit_count(xor(a.sh, b.sh))::int as hamming
@@ -744,13 +751,17 @@ def oracle_sql() -> dict[str, str]:
               select vec_id as id, embedding::DOUBLE[] as vec,
                      {bucket_sql('embedding')} as bucket
               from embeddings
+            ), s as (
+              -- degenerate-bucket cap (mirror of max_bucket=40)
+              select * from b
+              qualify count(*) over (partition by bucket) between 2 and 40
             )
             select a.id as id_a, b2.id as id_b,
                    round(list_dot_product(a.vec, b2.vec)
                      / greatest(sqrt(list_dot_product(a.vec, a.vec))
                         * sqrt(list_dot_product(b2.vec, b2.vec)), 1e-12),
                      6)::double as cos
-            from b a join b b2 on a.bucket = b2.bucket and a.id < b2.id
+            from s a join s b2 on a.bucket = b2.bucket and a.id < b2.id
             where list_dot_product(a.vec, b2.vec)
                      / greatest(sqrt(list_dot_product(a.vec, a.vec))
                         * sqrt(list_dot_product(b2.vec, b2.vec)), 1e-12)

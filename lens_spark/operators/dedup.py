@@ -13,13 +13,13 @@ Four families, each shaped for 100 TB:
   expressions (no Python): near-dup pairs found by banding the bits into
   max(4, max_hamming+1) keys, so pigeonhole guarantees full recall at the
   requested radius (Hamming ≤ max_hamming ⇒ at least one band equal).
-- **n-gram Jaccard** — exploded-shingle self-join with inclusion-
-  exclusion; exact over the df-capped shingle space (shingles appearing
-  in > max_df docs are dropped before BOTH the intersection and the
-  sizes — a ubiquitous boilerplate shingle would otherwise create a
-  quadratic join bucket; df-capping is the standard practice and keeps
-  Jaccard consistent because numerator and denominator see the same
-  universe).
+- **n-gram Jaccard** — exploded shingles with inclusion-exclusion,
+  join-free pairing, single corpus scan; exact over the df-capped
+  shingle space (shingles appearing in > max_df docs are dropped before
+  BOTH the intersection and the sizes — a ubiquitous boilerplate shingle
+  would otherwise create a quadratic pair bucket; df-capping is the
+  standard practice and keeps Jaccard consistent because numerator and
+  denominator see the same universe).
 
 Hash choice: md5 (Spark ``F.md5`` ≡ DuckDB ``md5``) so every signature is
 bit-identical in the oracle SQL. xxhash64 would be faster but is
@@ -312,15 +312,26 @@ def simhash_bands(max_hamming: int, bits: int = 60) -> list[tuple[int, int]]:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — exhaustive.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — exhaustive
+    over band keys with ≤ ``max_bucket`` members.
 
     Banding: 60 bits → max(4, max_hamming+1) bands (simhash_bands), so
     the pigeonhole guarantee holds for the REQUESTED radius: any pair
     within max_hamming shares at least one band and the band-key join
     finds it (never all-pairs). More bands = more candidate rows per doc
     (linear) — the price of full recall at larger radii.
+
+    ``max_bucket`` enforces pair_structs' bounded-array precondition:
+    a hot band key (many identical/boilerplate docs sharing a simhash)
+    would otherwise collect every member into ONE aggregation row and
+    materialize n(n-1)/2 structs in a single array — an OOM at corpus
+    scale. Over-cap keys are dropped, the same documented recall trade
+    as minhash's ``max_bucket``: members of a >max_bucket key are
+    near-identical to hundreds of others and are exact-dedup's job
+    (route them through ``exact_dedup`` first), not pairwise banding's.
     Returns (id_a, id_b, hamming)."""
     layout = simhash_bands(max_hamming)
     # simhash64 is the heaviest per-row expression in the engine (60 bit
@@ -357,7 +368,7 @@ def simhash_pairs(
     w = Window.partitionBy("band_no", "key")
     sized = (
         banded.withColumn("n", F.count("*").over(w))
-        .filter(F.col("n") >= 2)
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
         .drop("n")
     )
     buckets = sized.groupBy("band_no", "key").agg(
@@ -388,19 +399,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = 1000,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup pairs via exploded-shingle self-join —
-    exact over the df-capped shingle space.
+    """n-gram Jaccard near-dup pairs via exploded shingles — exact over
+    the df-capped shingle space, ONE scan of the corpus.
 
-    |A∩B| from the shingle join; |A∪B| = |A|+|B|−|A∩B|. Shuffles on the
-    shingle hash — the classic scalable formulation (no doc×doc join).
+    |A∩B| from join-free per-shingle pairing; |A∪B| = |A|+|B|−|A∩B|.
+    Shuffles on the shingle hash — the classic scalable formulation (no
+    doc×doc join) — and a lazy localCheckpoint of the per-shingle
+    aggregation feeds both the intersection and the per-doc sizes, so
+    the normalize/shingle/explode subtree is computed exactly once.
 
     ``max_df`` drops shingles present in more than max_df documents
-    BEFORE both the intersection join and the per-doc sizes (consistent
-    numerator/denominator): one boilerplate shingle shared by D docs
-    would otherwise emit D² join rows. Same window-count trick as
-    minhash_lsh_pairs — one shuffle on shingle, reused by the self-join.
-    ``max_df=None`` disables the cap (pure exact; unsafe on corpora with
-    ubiquitous boilerplate). Returns (id_a, id_b, jaccard≥threshold)."""
+    BEFORE both the intersection pairing and the per-doc sizes
+    (consistent numerator/denominator): one boilerplate shingle shared
+    by D docs would otherwise emit D² pairs. ``max_df=None`` disables
+    the cap (pure exact; unsafe on corpora with ubiquitous boilerplate —
+    the collect_list per shingle is then unbounded).
+    Returns (id_a, id_b, jaccard≥threshold)."""
     df = ensure_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -415,28 +429,37 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .drop("df")
         )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # join-free shingle pairing (see minhash_lsh_pairs): collect the
-    # (df-capped, so bounded) id list per shingle and emit pairs with the
-    # nested-transform primitive — no self-join, no duplicated shingle
-    # subtree on the intersection side. |A∩B| = how many shingles emit
-    # the pair. (`sizes` is a second consumer of `sh` and does recompute
-    # the shingle explode — at warehouse scale materialize `sh` to a temp
-    # table to pay the scan once; the quadratic risk, not the linear
-    # rescan, is what kills at 100 TB.)
-    from pyspark.sql import Window as _W
-
-    per_shingle = (
-        sh.withColumn("n_ids", F.count("*").over(_W.partitionBy("shingle")))
-        .filter(F.col("n_ids") >= 2)
-        .drop("n_ids")
-        .groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    # ONE aggregation over the (df-capped) shingle rows — same
+    # partitioning as the window, no extra shuffle — collecting each
+    # shingle's sorted id list. BOTH downstream consumers (per-doc sizes
+    # AND the pair intersection) derive from this aggregated frame, and
+    # the lazy localCheckpoint materializes it once, so the whole
+    # normalize/shingle/explode subtree runs exactly ONE time per call
+    # (round-2 shipped `sizes` as a second consumer of `sh`, re-running
+    # the full explode — a wasted corpus pass at 100 TB). The aggregated
+    # frame is bounded: one row per distinct shingle, id lists ≤ max_df.
+    grouped = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
     )
+    # eager=False: nothing runs at plan-build time; the first action
+    # computes the aggregation and persists it (MEMORY_AND_DISK), and
+    # every reference below reads the SAME persisted RDD — plan-level
+    # subtree duplication (Spark re-plans each DataFrame consumer from
+    # the source) cannot re-scan the corpus.
+    grouped = grouped.localCheckpoint(eager=False)
+    # per-doc shingle counts |A| from the aggregated frame (includes
+    # df-1 singleton shingles — same universe as the intersection)
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+    )
+    # join-free shingle pairing (see minhash_lsh_pairs): pairs via the
+    # nested-transform primitive — no self-join, no duplicated shingle
+    # subtree. |A∩B| = how many shingles emit the pair.
     inter = (
-        per_shingle.select(
-            F.explode(pair_structs(F.col("ids"))).alias("p")
-        )
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_structs(F.col("ids"))).alias("p"))
         .groupBy(
             F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
         )

@@ -11,7 +11,8 @@
   against its bucket — the 100 TB path is bucket-partitioned storage so a
   query touches one partition (partition pruning on ``bucket``).
 - **embedding near-dup pairs**: same hyperplane buckets as a blocking key,
-  cosine verified within buckets — never O(n²).
+  cosine verified within buckets — join-free (one scan, groupBy-collect
+  pairing) with a per-bucket cap, never O(n²).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lens_spark.functions.hof import aggregate_u, zip_with_u
-from lens_spark.operators.dedup import ensure_parallelism
+from lens_spark.operators.dedup import ensure_parallelism, pair_structs
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -260,12 +261,30 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     num_planes: int = 6,
     dim: int | None = None,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked then cosine-verified.
 
-    Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold. Blocking
-    on one bucket key trades recall for never-quadratic cost; raise
-    num_planes for tighter buckets on bigger corpora."""
+    Returns (id_a, id_b, cos) with id_a < id_b, cos ≥ threshold.
+
+    Join-free (round-3 rewrite, same pattern as
+    ``dedup.minhash_lsh_pairs``): Spark 4.1 will not reuse the exchange
+    across self-join sides, so the old bucket self-join computed the
+    ``lsh_bucket`` dot-product subtree (num_planes × dim multiply-adds
+    per row) TWICE; instead one groupBy per bucket collects the sorted
+    (id, vec) structs and ``pair_structs`` emits the a<b pairs — the
+    bucket/projection subtree runs exactly once and the plan is one scan
+    plus the bucket exchange.
+
+    ``max_bucket`` caps degenerate buckets: near-dup-heavy corpora are
+    exactly where this operator runs, and a cluster of D near-identical
+    embeddings lands in ONE bucket — without the cap that's D(D-1)/2
+    materialized pairs (quadratic). Capped buckets are dropped, same
+    recall contract as minhash's ``max_bucket``: members of an over-cap
+    bucket are near-identical to >max_bucket others and belong to exact /
+    coarser dedup, not pairwise verification. The window count runs on
+    the same (bucket) partitioning as the groupBy — no extra shuffle —
+    and buffers rows (spillable) instead of arrays."""
     if dim is None:
         # one-row probe — fine interactively; pipelines should pass `dim`
         # so the plan needs no pre-action (VERDICT r1 note)
@@ -276,17 +295,34 @@ def embedding_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a, b = with_b.alias("a"), with_b.alias("b")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    sized = (
+        with_b.withColumn("bucket_n", F.count("*").over(w))
+        .filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket)
+        )
+        .drop("bucket_n")
+    )
+    # array_sort orders structs by leading field; id is unique, so pairs
+    # come out a.id < b.id. Bounded: ≤ max_bucket (id, dim-double) structs
+    # per aggregation row. Each row has exactly one bucket key, so a pair
+    # appears in at most one bucket — no distinct needed.
+    buckets = sized.groupBy("bucket").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("vec")))
+        ).alias("members")
+    )
+    p = F.col("p")
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(
+            F.explode(pair_structs(F.col("members"))).alias("p")
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+            p.a.id.alias("id_a"),
+            p.b.id.alias("id_b"),
+            F.round(cosine(p.a.vec, p.b.vec), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

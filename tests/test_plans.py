@@ -121,7 +121,11 @@ def test_pair_ops_are_join_free_single_scan(docs):
     assert s2.exchanges <= 3
 
     # jaccard keeps two small aggregate joins (sizes), but the
-    # intersection side must not self-join on the exploded shingles
+    # intersection side must not self-join on the exploded shingles —
+    # and (round 3) the corpus is scanned exactly ONCE: both consumers
+    # of the per-shingle aggregation read its lazy localCheckpoint, so
+    # no parquet scan appears in the final plan at all (the one scan
+    # happens inside the checkpointed subtree).
     jc = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
     txt = formatted_plan(jc)
     import re
@@ -129,6 +133,24 @@ def test_pair_ops_are_join_free_single_scan(docs):
     heads = re.findall(r"^\(\d+\) (\w+)", txt, re.M)
     joins = [h for h in heads if "Join" in h]
     assert len(joins) <= 2, f"unexpected joins: {joins}"
+    assert "Scan parquet" not in txt, (
+        "jaccard re-scans the corpus past the checkpointed aggregation"
+    )
+
+    # embedding near-dup pairs (round 3): same join-free contract as
+    # minhash/simhash — one scan, zero joins, bucket groupBy only
+    from lens_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = docs.sparkSession.read.parquet(f"{SF}/embeddings.parquet")
+    ep = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4, dim=64
+    )
+    s3 = plan_stats(ep)
+    assert "Join" not in formatted_plan(ep)
+    assert s3.scans == 1, f"bucket subtree duplicated: {s3.scans} scans"
+    # repartition (parallelism) + bucket window/groupBy
+    assert s3.exchanges <= 2, f"exchanges={s3.exchanges}"
+    assert s3.python_stages == 0
 
 
 def test_minhash_map_side_parallelism(spark):

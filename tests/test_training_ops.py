@@ -156,6 +156,38 @@ def test_embedding_neardup(vecs):
     assert all({a, b} != {1, 4} for a, b in pairs)
 
 
+def test_embedding_neardup_bucket_cap(spark):
+    """A cluster of near-identical embeddings lands in ONE hyperplane
+    bucket; the cap must drop it (0 pairs) instead of materializing
+    n(n-1)/2 structs in one aggregation row — and a cap above the
+    bucket size must leave results identical to uncapped."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    capped = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.5, num_planes=2, dim=4,
+        max_bucket=10,
+    )
+    assert capped.count() == 0
+    loose = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, num_planes=2, dim=4,
+        max_bucket=200,
+    )
+    assert loose.count() == 30 * 29 // 2  # quadratic only when allowed
+
+
+def test_simhash_hot_key_cap(spark):
+    """Many identical docs share every simhash band key: the bucket cap
+    must drop the hot keys (ADVICE r2 — one aggregation row would
+    otherwise materialize n(n-1)/2 pair structs)."""
+    rows = [(i, "identical boilerplate text repeated everywhere always")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    assert simhash_pairs(df, "id", "text", max_hamming=3,
+                         max_bucket=10).count() == 0
+    assert simhash_pairs(df, "id", "text", max_hamming=3,
+                         max_bucket=200).count() == 30 * 29 // 2
+
+
 def test_hyperplanes_deterministic():
     assert hyperplane_signs(0, 8) == hyperplane_signs(0, 8)
     assert hyperplane_signs(0, 8) != hyperplane_signs(1, 8)
