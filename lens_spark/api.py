@@ -124,6 +124,11 @@ class LensV2:
         t = self.out.read(self.spark)
         if t is None:
             raise KeyError(f"object '{hashes[0]}' does not exist")
+        # bounded by construction: the collect returns at most
+        # len(hashes) rows (the isin filter), and `hashes` is an
+        # RPC-argument list (the reference takes it per call,
+        # v2.go:203-207) — never corpus-sized. Bulk deletions should go
+        # through out.delete directly with an anti-join, not this RPC.
         present = {
             r["doc_id"]
             for r in t.filter(F.col("doc_id").isin(hashes))

@@ -76,8 +76,9 @@ def run_resumable(
 ):
     """One resumable extraction increment:
 
-    pending = docs ⟕̸ out_table  →  extract  →  MERGE into out_table
-    → append lineage to checkpoint_table [→ append quarantine rows].
+    pending = docs ⟕̸ out_table  →  extract  →  analyze (content/tokens)
+    → MERGE into out_table → append lineage to checkpoint_table
+    [→ append quarantine rows].
 
     The reference surfaces a failed magnify as the RPC error
     (v2_util.go:62-65); the batch analogue is the quarantine table — a
@@ -85,7 +86,15 @@ def run_resumable(
     ``quarantine_table`` (LensTable) to persist them; None preserves the
     write-nothing behavior.
 
+    Write-time analysis: the stored table carries the ``content`` and
+    ``tokens`` columns (``prepare_search_index``) so ``LensV2.search``
+    hits the materialized-token fast path instead of re-analyzing the
+    whole corpus per query — bleve analyzes at index time
+    (engine/index.go:40-60); per-query re-analysis is linear in corpus
+    size and the dominant cost at 10^9 docs.
+
     Returns the number of documents extracted in this increment."""
+    from lens_spark.operators.search import prepare_search_index
     from lens_spark.pipeline import extract
 
     done = out_table.read(spark)
@@ -93,7 +102,15 @@ def run_resumable(
     if pending.isEmpty():
         return 0
     res = extract(pending, cfg)
-    result = res.extracted.cache()
+    # cache the pre-reassembly span rows: `extracted` AND `quarantine`
+    # both derive from this one subtree, so caching it makes the whole
+    # explode/dispatch/UDF extraction run ONCE for the increment
+    # (ADVICE r2: the quarantine isEmpty + append each re-ran the full
+    # extraction — ~2 extra passes per increment). The cache holds one
+    # increment's spans (batch-sized, not corpus-sized) in
+    # MEMORY_AND_DISK, released below.
+    spans = res.spans_flat.cache()
+    result = prepare_search_index(res.extracted).cache()
     n = result.count()
     out_table.merge_upsert(result, "doc_id")
     checkpoint_table.append(
@@ -103,7 +120,8 @@ def run_resumable(
         q = res.quarantine.withColumn(
             "input_snapshot_id", F.lit(input_snapshot_id)
         )
-        if not q.isEmpty():
+        if not q.isEmpty():  # reads the cached spans, not a re-extract
             quarantine_table.append(q)
+    spans.unpersist()
     result.unpersist()
     return n

@@ -220,7 +220,11 @@ def search(
         )
 
     # prefer a write-time token column (prepare_search_index) — analysis
-    # per query is linear in corpus size and pure waste when repeated
+    # per query is linear in corpus size and pure waste when repeated.
+    # Contract: stored tokens were produced with the INDEX-time cfg; a
+    # per-query cfg with different stop-word handling does not re-analyze
+    # (bleve behaves the same way — the analyzer is part of the index
+    # mapping, not the query).
     if "tokens" in extracted.columns:
         df = extracted
     else:

@@ -27,10 +27,14 @@ data files**:
   key (reference Reindex/last-write-wins, engine_test.go:69-78).
 - **delete** (M2/S5): drop rows by key (queue.Item{Val: nil} semantics,
   engine/queue/queue.go:42-44), bucket-pruned like MERGE.
-- **GC**: after each commit, data roots no longer referenced by the
-  current manifest are deleted (Iceberg ``expire_snapshots`` analogue;
-  old manifests remain as metadata history). Single-writer assumption —
-  the reference's index writer is single-threaded too (queue.go:46).
+- **GC**: commit-time GC is retention-bounded — data roots referenced by
+  the newest ``retain_snapshots`` (default 2: current + previous)
+  survive, so in-flight readers of the previous snapshot never lose
+  files mid-job; deeper cleanup is the explicit
+  :meth:`LensTable.expire_snapshots` admin call (Iceberg's
+  ``expire_snapshots`` model: retention-bounded, never a per-commit
+  side effect). Single-writer assumption — the reference's index writer
+  is single-threaded too (queue.go:46).
 
 When a real Iceberg catalog is configured on the session, use
 :func:`iceberg_available` / :class:`IcebergTable` (same interface, backed
@@ -57,9 +61,19 @@ def bucket_expr(key: str, num_buckets: int) -> Column:
 
 
 class LensTable:
-    def __init__(self, path: str, num_buckets: int = 16):
+    def __init__(self, path: str, num_buckets: int = 16,
+                 retain_snapshots: int = 2):
         self.path = path
         self.num_buckets = num_buckets
+        # snapshots whose data roots survive commit-time GC. 2 = current
+        # + previous: an in-flight reader (or a lazily re-evaluated
+        # DataFrame derived pre-commit, e.g. run_resumable's
+        # done→pending→lineage chain after its own MERGE) still scans
+        # the previous snapshot's files; deleting them at commit time
+        # (round-2 behavior, ADVICE r2) hands that reader a
+        # FileNotFoundException mid-job. Deeper cleanup is an explicit
+        # admin op: expire_snapshots() — Iceberg's model exactly.
+        self.retain_snapshots = max(1, retain_snapshots)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
     # ---- snapshot pointer ---------------------------------------------
@@ -93,8 +107,8 @@ class LensTable:
         return int(cur.split("-")[1]) + 1 if cur else 0
 
     def _commit(self, manifest: dict) -> str:
-        """Write the manifest, atomically flip the pointer, GC
-        unreferenced data roots. Returns the snapshot id."""
+        """Write the manifest, atomically flip the pointer, GC data roots
+        past the retention window. Returns the snapshot id."""
         snap = f"snap-{manifest['seq']}"
         with open(os.path.join(self.path, f"{snap}.json"), "w") as f:
             json.dump(manifest, f)
@@ -102,21 +116,47 @@ class LensTable:
         with open(tmp, "w") as f:
             f.write(snap)
         os.replace(tmp, self._pointer())  # atomic visibility flip
-        self._gc(manifest)
+        # commit-time GC is retention-bounded (keeps the last
+        # `retain_snapshots` snapshots readable) and never touches
+        # manifest files — see expire_snapshots for the admin cleanup
+        self._expire(self.retain_snapshots, drop_manifests=False)
         return snap
 
-    def _gc(self, manifest: dict) -> None:
-        """Remove data roots not referenced by the CURRENT manifest (the
-        expire_snapshots analogue — old snapshots stop being readable)."""
-        referenced = {
-            rel.split("/")[1]
-            for rel in list(manifest["buckets"].values()) + manifest["extra"]
-        }
+    def expire_snapshots(self, retain_last: int = 1) -> None:
+        """Explicit retention-bounded GC (Iceberg ``expire_snapshots``):
+        delete data roots referenced ONLY by snapshots older than the
+        newest ``retain_last``, and drop those snapshots' manifest files.
+        An admin/maintenance call — never run implicitly per commit, so
+        readers of recent snapshots don't lose files mid-job."""
+        self._expire(max(1, retain_last), drop_manifests=True)
+
+    def _expire(self, retain: int, drop_manifests: bool) -> None:
+        cur = self.current_snapshot()
+        if cur is None:
+            return
+        seq = int(cur.split("-")[1])
+        oldest_kept = seq - retain + 1
+        referenced: set[str] = set()
+        for s in range(max(0, oldest_kept), seq + 1):
+            p = os.path.join(self.path, f"snap-{s}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                man = json.load(f)
+            referenced |= {
+                rel.split("/")[1]
+                for rel in list(man["buckets"].values()) + man["extra"]
+            }
         data = os.path.join(self.path, "data")
         for root in os.listdir(data):
             if root not in referenced:
                 shutil.rmtree(os.path.join(data, root),
                               ignore_errors=True)
+        if drop_manifests:
+            for fn in os.listdir(self.path):
+                if fn.startswith("snap-") and fn.endswith(".json"):
+                    if int(fn[5:-5]) < oldest_kept:
+                        os.remove(os.path.join(self.path, fn))
 
     # ---- helpers -------------------------------------------------------
     def _abs(self, rel: str) -> str:
@@ -336,9 +376,16 @@ class IcebergTable:
             self.spark.catalog.dropTempView(view)
         return self.current_snapshot()
 
+    @staticmethod
+    def _sql_str(v: str) -> str:
+        """SQL string literal with quotes escaped — doc_ids are arbitrary
+        non-whitespace strings under the default key contract, so an
+        unescaped quote would break (or inject into) the statement."""
+        return "'" + str(v).replace("'", "''") + "'"
+
     def delete(self, spark: SparkSession, key: str, keys: list
                ) -> str | None:
-        in_list = ", ".join(f"'{k}'" for k in keys)
+        in_list = ", ".join(self._sql_str(k) for k in keys)
         spark.sql(
             f"DELETE FROM {self.identifier} WHERE {key} IN ({in_list})"
         )

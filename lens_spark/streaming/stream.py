@@ -45,10 +45,18 @@ def stream_extract(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from lens_spark.operators.search import prepare_search_index
+
         if batch_df.isEmpty():
             return
         res = extract(batch_df, cfg)
-        result = res.extracted.cache()
+        # one extraction per micro-batch: spans cache feeds both the
+        # extracted MERGE and the quarantine append (see
+        # resume.run_resumable — same ADVICE r2 fix); tokens are
+        # materialized at write time so facade searches skip re-analysis
+        spans = res.spans_flat.cache()
+        result = prepare_search_index(res.extracted).cache()
+        result.count()
         out_table.merge_upsert(result, "doc_id")
         ckpt_table.append(lineage_rows(result, f"stream-batch-{batch_id}", cfg))
         if quarantine_table is not None:
@@ -57,6 +65,7 @@ def stream_extract(
             )
             if not q.isEmpty():
                 quarantine_table.append(q)
+        spans.unpersist()
         result.unpersist()
 
     writer = src.writeStream.foreachBatch(process).option(

@@ -56,6 +56,23 @@ def test_invalid_doc_ids_dropped(spark, lens):
     assert lens.is_indexed("ok-id")
 
 
+def test_index_materializes_tokens_for_search(spark, lens):
+    """VERDICT r2 #3: the write path stores content+tokens
+    (prepare_search_index wired into run_resumable), so the facade
+    search plan over an indexed store contains NO tokenizer split —
+    bleve analyzes at index time (engine/index.go:40-60), and at 10^9
+    docs per-query re-analysis is the search bottleneck."""
+    from lens_spark.operators.search import Query as Q, search
+    from lens_spark.plans.inspect import formatted_plan
+
+    docs = docs_to_spark(spark, gen_docs(8, seed=21, with_edge_rows=False))
+    lens.index(docs)
+    stored = lens.out.read(spark)
+    assert "tokens" in stored.columns and "content" in stored.columns
+    plan = formatted_plan(search(stored, Q(required=["storage"])))
+    assert "split(" not in plan  # no re-tokenization at query time
+
+
 def test_query_hash_stable():
     q1 = Query(text="a", tags=["t"])
     q2 = Query(text="a", tags=["t"])

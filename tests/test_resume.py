@@ -122,7 +122,9 @@ def test_merge_is_bucket_pruned(spark, tmp_path):
     rows = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
     assert len(rows) == 200 and rows["doc-3"] == 999
 
-    # GC: only live data roots remain on disk
+    # GC: commit-time GC keeps the retention window (current+previous);
+    # the explicit expire_snapshots admin call reduces to live roots only
+    t.expire_snapshots(retain_last=1)
     live_roots = {rel.split("/")[1]
                   for rel in man2["buckets"].values()}
     on_disk = set(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
@@ -167,6 +169,48 @@ def test_append_is_o_increment_and_compacts_on_merge(spark, tmp_path):
     assert man2["extra"] == []  # compacted to bucketed layout
     rows = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
     assert rows == {"a": 1, "b": 9}
+
+
+def test_gc_retains_previous_snapshot_for_readers(spark, tmp_path):
+    """ADVICE r2: a commit must NOT delete the files an in-flight reader
+    of the previous snapshot is scanning. Retention (default 2) keeps
+    the previous snapshot's data roots alive through the next commit;
+    expire_snapshots(1) is the explicit cleanup."""
+    import os
+
+    t = LensTable(str(tmp_path / "t"), num_buckets=4)
+    t.merge_upsert(
+        spark.createDataFrame([(f"d{i}", i) for i in range(20)],
+                              "doc_id string, v int"),
+        "doc_id",
+    )
+    reader = t.read(spark)  # lazily bound to snapshot 0's files
+    t.merge_upsert(
+        spark.createDataFrame([("d3", 999)], "doc_id string, v int"),
+        "doc_id",
+    )
+    # the pre-commit DataFrame still evaluates — no FileNotFoundException
+    assert reader.count() == 20
+    # explicit expire reclaims everything outside the newest snapshot
+    t.expire_snapshots(retain_last=1)
+    man = t._manifest()
+    live = {rel.split("/")[1] for rel in man["buckets"].values()}
+    on_disk = set(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    assert on_disk == live
+    # old manifest metadata removed too, current still readable
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "t"), "snap-0.json"))
+    assert t.read(spark).count() == 20
+
+
+def test_iceberg_sql_escaping():
+    """Keys containing quotes must not break (or inject into) the
+    DELETE statement (ADVICE r2)."""
+    from lens_spark.sources.tables import IcebergTable
+
+    assert IcebergTable._sql_str("a'b; DROP TABLE x--") == \
+        "'a''b; DROP TABLE x--'"
+    assert IcebergTable._sql_str("plain") == "'plain'"
 
 
 def test_iceberg_gate(spark, tmp_path):
