@@ -426,8 +426,10 @@ def oracle_sql() -> dict[str, str]:
     # --- shared SQL fragments (DuckDB dialect) ---------------------------
     norm = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
     ws_toks = f"list_filter(string_split({norm}, ' '), t -> len(t) > 0)"
+    # Unicode separator class — mirrors search.analyze (RE2 \p ≡ Java \p
+    # on L/N; three-way parity pinned by tests/test_search.py)
     analyze_toks = (
-        "list_filter(string_split_regex(lower(text), '[^0-9a-zA-Z]+'), "
+        r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), "
         "t -> len(t) > 0)"
     )
 

@@ -102,24 +102,35 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
     """CONTENT-side analyzer — the DataFrame analogue of bleve's standard
     analyzer used at index time (word tokenizer + lowercase;
     engine/index.go:44 default text mapping): split on any run of
-    non-alphanumerics, drop empties. The separator class is ASCII
-    non-alphanumeric — deliberately identical to the query-side
-    ``_analyze_py`` and the DuckDB oracle SQL, so content and query
-    tokenize the same way on any corpus (a Unicode class on one side only
-    would silently break phrase matches on non-ASCII text).
+    non-alphanumerics, drop empties.
 
-    Written as ``[\\W_]+`` (Java ``\\W`` is ASCII ``[^a-zA-Z0-9_]``
-    unless UNICODE_CHARACTER_CLASS is set, so ∪ {_} = exactly
-    non-[a-zA-Z0-9]) because the equivalent explicit range class
-    ``[^0-9a-zA-Z]+`` is ~12x slower in the JVM regex engine — measured
-    on the bench corpus: 24.7 s vs 2.0 s for the same 30.85M tokens.
+    The separator class is UNICODE non-alphanumeric ``[^\\p{L}\\p{N}]+``
+    (ADVICE r2: the round-2 ASCII class tokenized 'café'→'caf',
+    diverging from bleve's Unicode tokenizer on every non-English
+    corpus) — and deliberately identical in all three engines so content
+    and query tokenize the same way:
+
+    - JVM: ``[^\\p{L}\\p{N}]+`` (underscore is \\p{Pc}, hence a
+      separator). Measured as fast as the ASCII ``[\\W_]+`` and ~7x
+      faster than the explicit range class ``[^0-9a-zA-Z]+`` (the JVM
+      regex trap, see repo memory);
+    - query-side Python (``_analyze_py``): ``[\\W_]+`` WITHOUT re.ASCII
+      — Python's \\w is exactly L∪N∪{_}, so [\\W_] = non-(L∪N);
+    - DuckDB oracle: RE2 ``[^\\p{L}\\p{N}]+``.
+
+    Verified three-way identical on 'café über straße 北京 a_b i18n'.
+    Known residual divergence (documented, not load-bearing): Java
+    additionally treats combining marks (\\p{Mn}..), ZWJ/ZWNJ and exotic
+    \\p{Pc} as word chars — NFC-normalized text (the overwhelming real
+    case) never exposes it.
 
     ``remove_stop_words=True`` additionally drops bleve/Lucene's standard
     English stop set (bleve's ``en`` analyzer token filter) — see
     ``STOP_WORDS_EN``; the default analyzer used for match/no-match parity
     keeps them (scores differ from bleve either way, documented)."""
     toks = filter_u(
-        F.split(F.lower(col), r"[\W_]+"), lambda t: F.length(t) > 0
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
+        lambda t: F.length(t) > 0,
     )
     if remove_stop_words:
         toks = filter_u(toks, lambda t: ~t.isin(*sorted(STOP_WORDS_EN)))
@@ -129,12 +140,11 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
 def _analyze_py(text: str, remove_stop_words: bool = False) -> list[str]:
     """Query-side analyzer — same separator class and stop handling as
     the content-side ``analyze`` (asymmetry would silently break
-    matches). re.ASCII pins Python's ``\\W`` to the Java default
-    (ASCII word chars)."""
+    matches). Unicode by default: Python ``[\\W_]`` ≡ non-(L∪N) ≡ the
+    JVM's ``[^\\p{L}\\p{N}]`` (see ``analyze``)."""
     import re as _re
 
-    toks = [t for t in
-            _re.split(r"[\W_]+", text.lower(), flags=_re.ASCII) if t]
+    toks = [t for t in _re.split(r"[\W_]+", text.lower()) if t]
     if remove_stop_words:
         toks = [t for t in toks if t not in STOP_WORDS_EN]
     return toks

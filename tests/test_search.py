@@ -126,6 +126,29 @@ def test_tokenizer_semantics(spark):
     assert df.collect()[0]["t"] == ["big", "dog"]
 
 
+def test_analyzer_unicode_parity(spark):
+    """ADVICE r2: the analyzer is Unicode on BOTH sides — non-ASCII
+    letters are word characters ('café' stays whole, not 'caf'), and
+    the JVM class, the Python query-side class, and the DuckDB oracle
+    class tokenize identically."""
+    import duckdb
+
+    from lens_spark.operators.search import _analyze_py, analyze
+
+    samples = ["Café über STRASSE 北京 a_b i18n", "naïve mañana-e2e",
+               "", "___", "a-b.c"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    jvm = [r[0] for r in
+           sdf.select(analyze(F.col("text")).alias("t")).collect()]
+    py = [_analyze_py(s) for s in samples]
+    ddb = [duckdb.sql(
+        "select list_filter(string_split_regex(lower(" + repr(s)
+        + r"), '[^\p{L}\p{N}]+'), t -> len(t) > 0)").fetchone()[0]
+        for s in samples]
+    assert jvm == py == ddb
+    assert jvm[0] == ["café", "über", "strasse", "北京", "a", "b", "i18n"]
+
+
 def test_driver_phrase_query_survives_empty_docs(spark, tmp_path):
     """ADVICE r1: under ANSI mode (Spark 4 default) element_at on an
     out-of-range index kills the job; a 0- or 1-token document must not
