@@ -353,6 +353,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "ord")
         )
 
+    def q_image_features(spark, sf):
+        # Multimodal E-path: PNG decode + feature extract over binary
+        # payloads (Arrow mapInPandas), vs the FROZEN Spark-free
+        # expected parquet (scripts/freeze_multimodal_oracle.py).
+        # Embedding → quantized ints (floor(f64(x)*1e4)); numeric error
+        # sentinels -1/[] — see the freeze script for why.
+        from lens_spark.corpus import gen_media, media_to_spark
+        from lens_spark.operators.multimodal import image_features
+
+        media = media_to_spark(spark, gen_media(48, seed=7))
+        emb_q = transform_u(
+            F.slice(F.col("embedding"), 1, 8),
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        )
+        return (
+            image_features(media)
+            .select(
+                "media_id",
+                F.coalesce("width", F.lit(-1)).alias("width"),
+                F.coalesce("height", F.lit(-1)).alias("height"),
+                "caption",
+                F.coalesce(emb_q, F.array().cast("array<long>"))
+                .alias("emb_q"),
+                "error",
+            )
+            .orderBy("media_id")
+        )
+
+    def q_frame_sample(spark, sf):
+        # Multimodal A/V path: every-2nd-frame sampling over the
+        # LENSAV1 fixture containers; frames projected to (md5, length)
+        from lens_spark.corpus import gen_media, media_to_spark
+        from lens_spark.operators.multimodal import frame_sample
+
+        media = media_to_spark(spark, gen_media(48, seed=7))
+        return (
+            frame_sample(media, every=2)
+            .select(
+                "media_id",
+                F.coalesce("frame_no", F.lit(-1)).alias("frame_no"),
+                F.md5("frame").alias("frame_md5"),
+                F.coalesce(F.octet_length("frame"), F.lit(-1))
+                .alias("frame_len"),
+                "error",
+            )
+            .orderBy("media_id", "frame_no")
+        )
+
     def q_lineage_counts(spark, sf):
         # M3/lineage analogue: per-bucket row counts with md5-derived
         # bucket (deterministic across engines, unlike partition ids)
@@ -395,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "lineage_counts": q_lineage_counts,
         "extract_full": q_extract_full,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -844,5 +894,18 @@ def oracle_sql() -> dict[str, str]:
                mime_type, category, tags_joined
         from read_parquet('{fixture}')
         order by doc_id, ord
+    """
+    # multimodal operators vs frozen Spark-free expected parquet
+    # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
+    fixdir = "/root/repo/tests/fixtures"
+    out["image_features"] = f"""
+        select media_id, width, height, caption, emb_q, error
+        from read_parquet('{fixdir}/image_features_expected.parquet')
+        order by media_id
+    """
+    out["frame_sample"] = f"""
+        select media_id, frame_no, frame_md5, frame_len, error
+        from read_parquet('{fixdir}/frame_sample_expected.parquet')
+        order by media_id, frame_no
     """
     return out

@@ -226,3 +226,45 @@ def docs_to_spark(spark, rows: list[dict]):
         for r in rows
     ]
     return spark.createDataFrame(data, schema=DOCUMENTS)
+
+
+# --------------------------------------------------------------- multimodal
+def gen_media(n: int = 48, seed: int = 7) -> list[dict]:
+    """Deterministic multimodal fixture corpus (media_id, kind, payload,
+    media_ref): PNG images of varying dimensions (~70% captioned),
+    LENSAV1 audio/video containers with varying frame counts, and one
+    corrupt payload per 8 rows (drives the error/quarantine column).
+    Shared verbatim by the Spark driver queries and the Spark-free
+    oracle freezer (scripts/freeze_multimodal_oracle.py)."""
+    import random
+
+    from lens_spark.operators.multimodal import make_av_container
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        mid = f"m{i:04d}"
+        if kind == "image":
+            cap = f"fixture caption {i}" if rng.random() > 0.3 else None
+            payload = make_png(caption=cap, width=1 + i % 5,
+                               height=1 + (i // 3) % 4)
+        else:
+            frames = [bytes([(i + j) % 256]) * (8 + 3 * j)
+                      for j in range(2 + i % 5)]
+            payload = make_av_container(kind, frames)
+        if i % 8 == 7:
+            payload = b"\x00corrupt" + payload[:4]
+        rows.append({"media_id": mid, "kind": kind, "payload": payload,
+                     "media_ref": f"ref-{mid}"})
+    return rows
+
+
+def media_to_spark(spark, rows: list[dict]):
+    from lens_spark.operators.multimodal import MEDIA
+
+    return spark.createDataFrame(
+        [(r["media_id"], r["kind"], r["payload"], r["media_ref"])
+         for r in rows],
+        schema=MEDIA,
+    )

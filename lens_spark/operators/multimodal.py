@@ -121,20 +121,43 @@ def make_av_container(kind: str, frames: list[bytes]) -> bytes:
     return out
 
 
+def image_feature_row(media_id, payload) -> tuple:
+    """Per-row image decode/feature logic — a PURE function shared by the
+    distributed ``image_features`` batches and the Spark-free oracle
+    freezer (scripts/freeze_multimodal_oracle.py), so the driver's
+    correctness row verifies that the Arrow/mapInPandas plumbing
+    reproduces the local computation byte-for-byte."""
+    try:
+        p = bytes(payload)
+        d = decode_image(p)
+        return (media_id, d["width"], d["height"], d["caption"],
+                _stub_embedding(p), None)
+    except Exception as e:  # noqa: BLE001 - quarantine, not crash
+        return (media_id, None, None, None, None, str(e))
+
+
+def frame_sample_rows(media_id, payload, every: int = 2) -> list[tuple]:
+    """Per-row frame-sampling logic (pure; see image_feature_row)."""
+    try:
+        p = bytes(payload)
+        if not p.startswith(b"LENSAV1V"):
+            raise NotImplementedError(
+                "video decode requires pyav/ffmpeg "
+                "(not in this container)"
+            )
+        return [(media_id, i, fr, None)
+                for i, fr in enumerate(_walk_frames(p)) if i % every == 0]
+    except Exception as e:  # noqa: BLE001
+        return [(media_id, None, None, str(e))]
+
+
 def image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract image payloads (Arrow-batched)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in it:
-            rows = []
-            for mid, payload in zip(b["media_id"], b["payload"]):
-                try:
-                    p = bytes(payload)
-                    d = decode_image(p)
-                    rows.append((mid, d["width"], d["height"], d["caption"],
-                                 _stub_embedding(p), None))
-                except Exception as e:  # noqa: BLE001 - quarantine, not crash
-                    rows.append((mid, None, None, None, None, str(e)))
+            rows = [image_feature_row(mid, payload)
+                    for mid, payload in zip(b["media_id"], b["payload"])]
             yield pd.DataFrame(
                 rows, columns=[f.name for f in IMAGE_FEATURES]
             )
@@ -152,18 +175,7 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
         for b in it:
             rows = []
             for mid, payload in zip(b["media_id"], b["payload"]):
-                try:
-                    p = bytes(payload)
-                    if not p.startswith(b"LENSAV1V"):
-                        raise NotImplementedError(
-                            "video decode requires pyav/ffmpeg "
-                            "(not in this container)"
-                        )
-                    for i, fr in enumerate(_walk_frames(p)):
-                        if i % every == 0:
-                            rows.append((mid, i, fr, None))
-                except Exception as e:  # noqa: BLE001
-                    rows.append((mid, None, None, str(e)))
+                rows.extend(frame_sample_rows(mid, payload, every))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES])
 
     return media.filter("kind = 'video'").select(

@@ -217,6 +217,18 @@ def ivf_list_id(vec_col: Column, centroids: list[list[float]]) -> Column:
     return F.least(*cands)["idx"].cast("int")
 
 
+def nearest_lists(query: list[float], centroids: list[list[float]],
+                  nprobe: int) -> list[int]:
+    """The `nprobe` inverted lists nearest the query (L2 to centroid,
+    lowest index on ties) — driver-side over nlist centroids only."""
+    import numpy as np
+
+    q = np.array(query, dtype="float64")
+    d2 = [(((q - np.array(c)) ** 2).sum(), i)
+          for i, c in enumerate(centroids)]
+    return [i for _, i in sorted(d2)[:nprobe]]
+
+
 def ann_ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -229,16 +241,13 @@ def ann_ivf_topk(
     """IVF-flat ANN: scan only the `nprobe` inverted lists nearest the
     query (L2 to centroid), brute-force cosine inside them.
 
-    The 100 TB shape: store the table partitioned by `ivf_list_id` so a
-    query prunes to nprobe partitions (same storage trick as the
-    hyperplane buckets, but with data-driven cells — better recall on
-    clustered embeddings). Returns (id, score) like the other top-ks."""
-    import numpy as np
-
-    q = np.array(query, dtype="float64")
-    d2 = [(((q - np.array(c)) ** 2).sum(), i)
-          for i, c in enumerate(centroids)]
-    probes = [i for _, i in sorted(d2)[:nprobe]]
+    This variant assigns lists on the fly (one full pass). The 100 TB
+    shape is :func:`write_ivf_index` + :func:`ann_ivf_topk_stored`:
+    store the table partitioned by `ivf_list_id` so a query PRUNES to
+    nprobe partitions (same storage trick as the hyperplane buckets,
+    but with data-driven cells — better recall on clustered
+    embeddings). Returns (id, score) like the other top-ks."""
+    probes = nearest_lists(query, centroids, nprobe)
     qarr = F.array(*[F.lit(float(x)) for x in query])
     return (
         ensure_parallelism(df)
@@ -247,6 +256,62 @@ def ann_ivf_topk(
         .select(
             F.col(id_col).alias("id"),
             F.round(cosine(F.col(vec_col).cast("array<double>"), qarr), 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    path: str,
+) -> None:
+    """Persist the corpus as an on-disk IVF index: one partition
+    directory per inverted list (``partitionBy("list_id")``), vectors
+    assigned by :func:`ivf_list_id` (pure Catalyst argmin).
+
+    This is the storage layout the IVF docstring promises at scale: a
+    query then touches only its ``nprobe`` list directories — Spark's
+    partition discovery prunes every other list at PLANNING time, so
+    cost per query is nprobe/nlist of the corpus, not a full pass
+    (FAISS's IVF behavior, expressed as hive-partitioned storage). On a
+    production catalog the same single ``partitionBy`` column maps 1:1
+    onto an Iceberg identity-partitioned table."""
+    (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            ivf_list_id(F.col(vec_col), centroids).alias("list_id"),
+        )
+        .write.partitionBy("list_id").mode("overwrite").parquet(path)
+    )
+
+
+def ann_ivf_topk_stored(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over a stored IVF index (:func:`write_ivf_index`): the
+    ``list_id`` filter is a partition-column predicate, so the scan
+    reads ONLY the ``nprobe`` nearest list directories
+    (plan-asserted: tests/test_training_ops.py counts touched
+    partitions). Returns (id, score) like the other top-ks."""
+    probes = nearest_lists(query, centroids, nprobe)
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("list_id").isin(probes))
+        .select(
+            F.col("id"),
+            F.round(cosine(F.col("vec").cast("array<double>"), qarr), 6)
             .alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("id"))

@@ -306,6 +306,54 @@ def test_ivf_training_and_probe(spark, tmp_path):
     assert got[0]["score"] == 1.0
 
 
+def test_ivf_stored_index_prunes_partitions(spark, tmp_path):
+    """VERDICT r2 #7: the stored IVF index must be read partition-pruned
+    — a query touches ONLY its nprobe list directories (counted via
+    input_file_name), the list_id predicate appears as a PartitionFilter
+    (pruned at planning, not post-scan), and results equal the
+    assign-on-the-fly operator."""
+    from lens_spark.operators.similarity import (
+        ann_ivf_topk, ann_ivf_topk_stored, train_ivf_centroids,
+        write_ivf_index,
+    )
+    from lens_spark.plans.inspect import formatted_plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", nlist=8,
+                                sample=256)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, "vec_id", "embedding", cents, path)
+
+    import os
+    n_lists = len([d for d in os.listdir(path)
+                   if d.startswith("list_id=")])
+    assert n_lists >= 4  # sanity: the index actually fans out
+
+    q = [0.1] * 64
+    stored = ann_ivf_topk_stored(spark, path, q, cents, k=10, nprobe=2)
+    # partition pruning visible in the plan...
+    assert "list_id" in "".join(
+        __import__("re").findall(r"PartitionFilters: \[([^\]]*)\]",
+                                 formatted_plan(stored))
+    )
+    # ...and in the files actually touched
+    touched = {
+        r[0].split("list_id=")[1].split("/")[0]
+        for r in spark.read.parquet(path)
+        .filter(F.col("list_id").isin(
+            __import__("lens_spark.operators.similarity",
+                       fromlist=["nearest_lists"])
+            .nearest_lists(q, cents, 2)))
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert len(touched) <= 2, f"scanned {touched}"
+
+    fly = ann_ivf_topk(emb, "vec_id", "embedding", q, cents, k=10,
+                       nprobe=2)
+    assert [(r["id"], r["score"]) for r in stored.collect()] == \
+        [(r["id"], r["score"]) for r in fly.collect()]
+
+
 def test_winnowing_guarantee(spark):
     """Winnowing property (SIGMOD'03): two documents sharing a substring
     of length >= w + k - 1 share at least one selected fingerprint; and
