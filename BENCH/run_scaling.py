@@ -95,6 +95,26 @@ def host_parallel_efficiency(seconds: float = 1.5) -> dict:
     }
 
 
+def read_pressure() -> dict:
+    """PSI counters (/proc/pressure/{cpu,io,memory}): cumulative stall
+    time in µs. Deltas across a run show whether wall-clock was lost to
+    CPU contention (co-tenant storms), IO waits, or memory thrash —
+    distinguishing host weather from self-inflicted spill/page pressure
+    (VERDICT r2: prove the storm-pair kernel time isn't our own page
+    thrash)."""
+    out = {}
+    for res in ("cpu", "io", "memory"):
+        try:
+            with open(f"/proc/pressure/{res}") as f:
+                for ln in f:
+                    kind = ln.split()[0]
+                    out[f"{res}_{kind}"] = int(
+                        ln.rsplit("total=", 1)[1])
+        except (OSError, ValueError, IndexError):
+            pass
+    return out
+
+
 def run_level(cores: int, sf_dir: str, full: bool) -> dict:
     env = dict(
         os.environ,
@@ -112,11 +132,17 @@ def run_level(cores: int, sf_dir: str, full: bool) -> dict:
         env["BENCH_ONLY"] = "extract,dedup_minhash_lsh"
     cmd = ["taskset", "-c", f"0-{cores - 1}",
            sys.executable, os.path.join(REPO, "bench.py")]
+    p0 = read_pressure()
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
+    p1 = read_pressure()
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    rec["pressure_stall_s"] = {
+        k: round((p1[k] - p0[k]) / 1e6, 1) for k in p1 if k in p0
+    }
+    return rec
 
 
 def main() -> None:

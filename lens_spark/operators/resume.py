@@ -112,16 +112,34 @@ def run_resumable(
     spans = res.spans_flat.cache()
     result = prepare_search_index(res.extracted).cache()
     n = result.count()
-    out_table.merge_upsert(result, "doc_id")
-    checkpoint_table.append(
-        lineage_rows(result, input_snapshot_id, cfg)
-    )
+    if n:
+        # n == 0 happens when every pending doc fully quarantined (a
+        # doc whose spans ALL fail is never indexed, so it stays pending
+        # and is retried per run — the reference Reindex retry shape);
+        # skip the empty MERGE + lineage so reruns don't churn snapshots
+        out_table.merge_upsert(result, "doc_id")
+        checkpoint_table.append(
+            lineage_rows(result, input_snapshot_id, cfg)
+        )
     if quarantine_table is not None:
         q = res.quarantine.withColumn(
             "input_snapshot_id", F.lit(input_snapshot_id)
         )
         if not q.isEmpty():  # reads the cached spans, not a re-extract
-            quarantine_table.append(q)
+            # idempotent per span: retried failures UPDATE their row
+            # (last error wins) instead of appending duplicates run
+            # after run
+            quarantine_table.merge_upsert(
+                q.withColumn(
+                    "qkey",
+                    F.concat_ws(
+                        ":", "doc_id",
+                        F.coalesce(F.col("offset"), F.lit(-1))
+                        .cast("string"),
+                    ),
+                ),
+                "qkey",
+            )
     spans.unpersist()
     result.unpersist()
     return n

@@ -149,3 +149,23 @@ def test_quarantine_persisted_via_api(spark, lens):
     assert q[0]["doc_id"] == "doc-bad-kind"
     assert q[0]["error"] == "unsupported content type for indexing"
     assert q[0]["input_snapshot_id"] == "snap-q"
+
+    # RERUN idempotence (round 3): doc-bad-kind IS indexed (text span
+    # succeeded) so nothing is pending; a doc whose spans ALL fail stays
+    # pending and is retried, but its quarantine row must be UPDATED
+    # (merge on doc_id:offset), never duplicated, and the output table
+    # must not churn snapshots on an empty increment.
+    rows.append({
+        "doc_id": "doc-all-bad",
+        "spans": [{"kind": "audio", "text": ogg, "media_ref": None,
+                   "offset": 1}],
+    })
+    for snap in ("snap-q2", "snap-q3"):
+        assert lens.index(docs_to_spark(spark, rows),
+                          snapshot_id=snap) == 0
+    before = lens.out.current_snapshot()
+    lens.index(docs_to_spark(spark, rows), snapshot_id="snap-q4")
+    assert lens.out.current_snapshot() == before  # no empty MERGE
+    q2 = {r["doc_id"]: r for r in lens.quarantine.read(spark).collect()}
+    assert set(q2) == {"doc-bad-kind", "doc-all-bad"}  # no dupes
+    assert q2["doc-all-bad"]["input_snapshot_id"] == "snap-q4"  # updated
