@@ -85,6 +85,13 @@ class SearchConfig:
     # divide scores by the result set's max (bleve tracks MaxScore,
     # engine/engine.go:190) — ranking order is unchanged, scale is [0,1]
     normalize_max_score: bool = False
+    # "tf" (round-2 behavior: term-frequency ratio, deterministic and
+    # cheap) or "tfidf": Lucene classic similarity as bleve's term
+    # scorer computes it — sqrt(tf) x idf^2 x queryNorm x fieldNorm —
+    # the closest DataFrame analogue of the reference's scores. tfidf
+    # needs corpus stats (N + per-term df): ONE extra aggregation pass
+    # per query, driver-collected as literals into the score expression
+    scoring: str = "tf"
 
 
 DEFAULT = ExtractConfig()

@@ -19,9 +19,15 @@ engine/engine.go:172-214) as Catalyst expressions:
   (query.go:25-26).
 - **Tokenizer** (Q6): split on spaces, drop len ≤ 1, lowercase
   (query.go:80-99).
-- **Top-k + score** (Q7): tf-idf-style scoring, `orderBy desc limit 1000`
-  (engine.go:175-205). Scores are deterministic but not bit-compatible
-  with bleve's; ordering among equal scores is doc_id for stability.
+- **Top-k + score** (Q7): scoring + `orderBy desc limit 1000`
+  (engine.go:175-205). Default scoring='tf' is a cheap deterministic
+  term-frequency ratio; scoring='tfidf' computes Lucene classic
+  similarity — sqrt(tf)·idf²·queryNorm·fieldNorm, the formula bleve's
+  term scorer implements — from a one-pass corpus-stats aggregation
+  (the index-dictionary lookup bleve does per query). Neither is
+  bit-identical to a given bleve build (the reference treats score as
+  an opaque float, result.go:12-17); ordering among equal scores is
+  doc_id for stability.
 - **Projection** (Q8): all metadata fields except content
   (engine.go:177, index.go:20-26).
 - **Empty result** (Q9): caller checks; `search()` mirrors the engine by
@@ -196,6 +202,57 @@ def _phrase_clause(tokens_col: Column, phrase: str,
     )
 
 
+def _corpus_term_stats(df: DataFrame, terms: list[str]
+                       ) -> tuple[int, dict[str, int]]:
+    """N (corpus size) + per-term document frequency in ONE aggregation
+    pass (JVM-side array_contains, no lambdas). Driver-collects one row
+    of len(terms)+1 longs — bounded by the query's term count, never by
+    the corpus. This is the stat lookup a bleve/Lucene index serves from
+    its dictionary; the DataFrame analogue pays one scan per query, so
+    it's opt-in (SearchConfig.scoring='tfidf')."""
+    aggs = [F.count("*").alias("__n")] + [
+        F.sum(F.array_contains(F.col("tokens"), t).cast("long"))
+        .alias(f"__df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return int(row["__n"]), {
+        t: int(row[f"__df_{i}"] or 0) for i, t in enumerate(terms)
+    }
+
+
+def _lucene_idf(df_count: int, n_docs: int) -> float:
+    """Lucene classic idf (what bleve's term scorer uses):
+    1 + ln(N / (df + 1))."""
+    import math
+
+    return 1.0 + math.log(max(n_docs, 1) / (df_count + 1))
+
+
+def _group_score(tokens_col: Column, group_terms: list[str],
+                 idf: dict[str, float], boost: float = 1.0) -> Column:
+    """Lucene classic similarity for one should-group (the bleve term
+    scorer's formula): Σ_t sqrt(tf_t) · idf_t² · queryNorm · boost,
+    all × fieldNorm = 1/sqrt(|d|). idf values are driver-side literals
+    (from _corpus_term_stats), so the whole score is one JVM expression."""
+    import math
+
+    qnorm = 1.0 / math.sqrt(
+        sum(idf[t] ** 2 for t in group_terms) or 1.0
+    )
+    field_norm = F.lit(1.0) / F.sqrt(
+        F.greatest(F.size(tokens_col), F.lit(1)).cast("double")
+    )
+    comp: Column | None = None
+    for t in group_terms:
+        tf = F.size(
+            filter_u(tokens_col, lambda x, t=t: x == t)
+        ).cast("double")
+        c = F.sqrt(tf) * F.lit(idf[t] ** 2 * qnorm * boost)
+        comp = c if comp is None else comp + c
+    return comp * field_norm
+
+
 def _required_terms(required: list[str]) -> list[str]:
     """query.go:82-102: multi-word strings split on spaces (len>1 kept),
     single strings trimmed (len>1 kept); all lowercased into one
@@ -243,18 +300,29 @@ def search(
     clauses: list[Column] = []
     score: Column = F.lit(0.0)
 
+    qtoks = _analyze_py(q.text, cfg.remove_stop_words) if q.text else []
+    terms = _required_terms(q.required)
+    idf: dict[str, float] = {}
+    if cfg.scoring == "tfidf" and (qtoks or terms):
+        # one corpus pass for N + df, folded into literals (bleve reads
+        # the same stats from the index dictionary per query)
+        n_docs, dfs = _corpus_term_stats(df, sorted({*qtoks, *terms}))
+        idf = {t: _lucene_idf(c, n_docs) for t, c in dfs.items()}
+
     if q.text:
         clauses.append(
             _phrase_clause(F.col("tokens"), q.text, cfg.remove_stop_words)
         )
-        qtoks = _analyze_py(q.text, cfg.remove_stop_words)
         if qtoks:
-            qarr = F.array(*[F.lit(t) for t in qtoks])
-            score = score + F.size(
-                filter_u(F.col("tokens"), lambda t: F.array_contains(qarr, t))
-            ) / F.greatest(F.size("tokens"), F.lit(1))
+            if cfg.scoring == "tfidf":
+                score = score + _group_score(F.col("tokens"), qtoks, idf)
+            else:
+                qarr = F.array(*[F.lit(t) for t in qtoks])
+                score = score + F.size(
+                    filter_u(F.col("tokens"),
+                             lambda t: F.array_contains(qarr, t))
+                ) / F.greatest(F.size("tokens"), F.lit(1))
 
-    terms = _required_terms(q.required)
     if q.required:
         if terms:
             tarr = F.array(*[F.lit(t) for t in terms])
@@ -263,9 +331,14 @@ def search(
             )
             clauses.append(hits > 0)
             # boost ×100 (query.go:52)
-            score = score + cfg.required_boost * hits / F.greatest(
-                F.size("tokens"), F.lit(1)
-            )
+            if cfg.scoring == "tfidf":
+                score = score + _group_score(
+                    F.col("tokens"), terms, idf, boost=cfg.required_boost
+                )
+            else:
+                score = score + cfg.required_boost * hits / F.greatest(
+                    F.size("tokens"), F.lit(1)
+                )
         else:
             # required strings that normalize to nothing (e.g. "   ")
             # build an empty should-group in the reference, which can

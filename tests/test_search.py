@@ -126,6 +126,48 @@ def test_tokenizer_semantics(spark):
     assert df.collect()[0]["t"] == ["big", "dog"]
 
 
+def test_tfidf_scoring_matches_hand_computed_lucene(spark):
+    """scoring='tfidf' implements Lucene classic similarity (the bleve
+    term scorer formula): sqrt(tf)·idf²·queryNorm·fieldNorm with
+    idf = 1 + ln(N/(df+1)). Hand-computed on a 3-doc corpus."""
+    import math
+
+    from lens_spark.config import SearchConfig
+
+    rows = [
+        ("d1", [("text", "spark spark shuffle", None, 1)],
+         "text/plain", "document", [], "d1", STAMP, "v"),
+        ("d2", [("text", "spark merge", None, 1)],
+         "text/plain", "document", [], "d2", STAMP, "v"),
+        ("d3", [("text", "other words here", None, 1)],
+         "text/plain", "document", [], "d3", STAMP, "v"),
+    ]
+    df = spark.createDataFrame(rows, schema=EXTRACTED)
+    cfg = SearchConfig(scoring="tfidf")
+    got = {r["doc_id"]: r["score"]
+           for r in search(df, Query(required=["spark"]), cfg).collect()}
+
+    n, df_spark = 3, 2
+    idf = 1.0 + math.log(n / (df_spark + 1))      # = 1.0
+    qnorm = 1.0 / math.sqrt(idf ** 2)             # = 1.0
+    want_d1 = math.sqrt(2) * idf ** 2 * qnorm * 100 / math.sqrt(3)
+    want_d2 = math.sqrt(1) * idf ** 2 * qnorm * 100 / math.sqrt(2)
+    assert set(got) == {"d1", "d2"}
+    assert abs(got["d1"] - want_d1) < 1e-9
+    assert abs(got["d2"] - want_d2) < 1e-9
+    assert got["d1"] > got["d2"]  # higher tf, longer doc — tf wins here
+
+    # rare terms outrank common ones at equal tf on the same doc (the
+    # property 'tf' scoring lacks): on d2, 'merge' (df=1) must outscore
+    # 'spark' (df=2) — both appear once in the same 2-token doc
+    merge = {r["doc_id"]: r["score"] for r in search(
+        df, Query(required=["merge"]), cfg).collect()}
+    idf_m = 1.0 + math.log(3 / 2)
+    want = idf_m ** 2 * (1 / math.sqrt(idf_m ** 2)) * 100 / math.sqrt(2)
+    assert abs(merge["d2"] - want) < 1e-9
+    assert merge["d2"] > got["d2"]  # rarer term scores higher
+
+
 def test_analyzer_unicode_parity(spark):
     """ADVICE r2: the analyzer is Unicode on BOTH sides — non-ASCII
     letters are word characters ('café' stays whole, not 'caf'), and
