@@ -196,8 +196,19 @@ def main() -> None:
 
 
 def write_report(pairs: list[dict], sf_dir: str) -> None:
-    best = max(pairs, key=lambda p: p["eff"])
-    best_mh = max(pairs, key=lambda p: p["mh_eff"] or 0)
+    # Physical plausibility gate for the HEADLINE: a fixed-input 8→32
+    # pair cannot truly exceed ~1.0 efficiency (no cache-capacity effect
+    # at these sizes), so eff > 1.05 means the 8-CORE level caught a
+    # storm the 32-core level missed — weather corruption in our favor,
+    # the mirror image of the collapsed-32-core pairs. Such pairs stay
+    # in the table (flagged) but are excluded from the claimed best;
+    # claiming them would be dishonest.
+    plausible = [p for p in pairs if p["eff"] <= 1.05] or pairs
+    best = max(plausible, key=lambda p: p["eff"])
+    best_mh = max(
+        [p for p in pairs if (p["mh_eff"] or 0) <= 1.05] or pairs,
+        key=lambda p: p["mh_eff"] or 0,
+    )
     print(f"best pair extract efficiency: {best['eff']}")
     print(f"best pair minhash efficiency: {best_mh['mh_eff']}")
 
@@ -284,10 +295,14 @@ BENCH/pairs_history.jsonl).
 |---|---|---|---|---|---|---|---|---|
 {pair_md}
 
-**best-pair extract efficiency = {best['eff']}**
+**best plausible-pair extract efficiency = {best['eff']}**
 ({'meets' if best['eff'] >= 0.8 else 'BELOW'} the ≥ 0.8 criterion);
-**best-pair dedup_minhash_lsh efficiency = {best_mh['mh_eff']}**
+**best plausible-pair dedup_minhash_lsh efficiency = {best_mh['mh_eff']}**
 ({'meets' if (best_mh['mh_eff'] or 0) >= 0.8 else 'BELOW'} ≥ 0.8).
+Pairs with eff > 1.05 are physically implausible at fixed input — the
+8-core level was storm-slowed while the 32-core level ran clean — and
+are excluded from the headline (the symmetric counterpart of the
+collapsed-32-core storm pairs below); they remain in the table above.
 
 ## Storm forensics (extract stage, per-run /proc/stat + PSI deltas)
 
@@ -306,9 +321,12 @@ whole bench process):
 Prior archived evidence with the same job: the round-1 measurement
 (git 1eb64cd, BENCH/BASELINE.md of 2026-08-16 morning) recorded
 **extract efficiency 0.972** (1447.7 → 5629.1 docs/s) in a calm host
-window using the sequential methodology; the per-stage table below and
-the pair history show the same pipeline tracking the host ceiling
-(`eff/ceiling` ≈ 0.9 in the worst window) — the residual gap to 4x is
+window using the sequential methodology; best plausible eff/ceiling
+across the pair history = {max((r for r in
+((p.get('eff_vs_ceiling') or 0) for p in plausible) if r <= 1.05),
+default=0):.2f} (ratios above ~1 occur when the spinner probe
+under-measures a window and are excluded here too) — the pipeline
+tracks what the host actually delivers, and the residual gap to 4x is
 host co-tenancy, not plan shape.
 
 ## Per-stage scaling (full pair, best-of-4 seconds)
