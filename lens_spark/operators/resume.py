@@ -64,6 +64,23 @@ def lineage_rows(
     )
 
 
+def quarantine_merge(quarantine_table, q: DataFrame) -> None:
+    """Idempotent quarantine write: MERGE on doc_id:offset so a retried
+    failure UPDATES its row (last error wins) instead of appending a
+    duplicate every rerun/redelivery. Shared by the batch increment and
+    the streaming foreachBatch so both write one schema."""
+    quarantine_table.merge_upsert(
+        q.withColumn(
+            "qkey",
+            F.concat_ws(
+                ":", "doc_id",
+                F.coalesce(F.col("offset"), F.lit(-1)).cast("string"),
+            ),
+        ),
+        "qkey",
+    )
+
+
 def run_resumable(
     spark,
     docs: DataFrame,
@@ -126,20 +143,7 @@ def run_resumable(
             "input_snapshot_id", F.lit(input_snapshot_id)
         )
         if not q.isEmpty():  # reads the cached spans, not a re-extract
-            # idempotent per span: retried failures UPDATE their row
-            # (last error wins) instead of appending duplicates run
-            # after run
-            quarantine_table.merge_upsert(
-                q.withColumn(
-                    "qkey",
-                    F.concat_ws(
-                        ":", "doc_id",
-                        F.coalesce(F.col("offset"), F.lit(-1))
-                        .cast("string"),
-                    ),
-                ),
-                "qkey",
-            )
+            quarantine_merge(quarantine_table, q)
     spans.unpersist()
     result.unpersist()
     return n

@@ -34,6 +34,15 @@ def get_spark(
         # 128 MiB input splits: good parquet scan granularity at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("LENS_DRIVER_MEM", "8g"))
+        # Throughput GC: G1's concurrent marking burns ~6-10% extra
+        # user-cpu at 32 threads on this workload (measured A/B, 4
+        # alternating pairs: wall 16.0 vs 17.9 s calm / 21.4 vs 31.5 s
+        # stormy, user 359 vs 358-402 cpu-s; neutral at 8 cores). A
+        # batch pipeline has no pause-time SLO, so the stop-the-world
+        # parallel collector is strictly better here; on a real cluster
+        # apply to executors too.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # pre-fork heavy imports into every python worker (COW) — at high

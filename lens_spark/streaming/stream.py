@@ -45,6 +45,7 @@ def stream_extract(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from lens_spark.operators.resume import quarantine_merge
         from lens_spark.operators.search import prepare_search_index
 
         if batch_df.isEmpty():
@@ -64,7 +65,11 @@ def stream_extract(
                 "input_snapshot_id", F.lit(f"stream-batch-{batch_id}")
             )
             if not q.isEmpty():
-                quarantine_table.append(q)
+                # same idempotent doc_id:offset MERGE as run_resumable —
+                # one schema for batch- and stream-written quarantine
+                # stores, and a redelivered batch updates rather than
+                # duplicates
+                quarantine_merge(quarantine_table, q)
         spans.unpersist()
         result.unpersist()
 
