@@ -156,6 +156,34 @@ def test_embedding_neardup(vecs):
     assert all({a, b} != {1, 4} for a, b in pairs)
 
 
+def test_pair_structs_exhaustive(spark):
+    """The join-free pairing primitive, exhaustively: for every sorted
+    id array of size 2..8 (plus ragged/string ids), pair_structs emits
+    exactly n(n-1)/2 structs, each a<b, no duplicates — ONE Spark job
+    over all cases. Every pair operator (minhash/simhash/jaccard/
+    embedding) rides on this."""
+    from itertools import combinations
+
+    from lens_spark.operators.dedup import pair_structs
+
+    cases = [[f"id{j:02d}" for j in range(n)] for n in range(2, 9)]
+    cases.append(["a", "b", "zz", "zzz"])
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)],
+        "case_no int, ids array<string>",
+    )
+    got = {
+        r["case_no"]: [(p["a"], p["b"]) for p in r["p"]]
+        for r in df.select(
+            "case_no", pair_structs(F.col("ids")).alias("p")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        want = list(combinations(c, 2))
+        assert got[i] == want, f"case {i}"
+        assert len(set(got[i])) == len(c) * (len(c) - 1) // 2
+
+
 def test_embedding_neardup_bucket_cap(spark):
     """A cluster of near-identical embeddings lands in ONE hyperplane
     bucket; the cap must drop it (0 pairs) instead of materializing
