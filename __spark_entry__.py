@@ -357,8 +357,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Multimodal E-path: PNG decode + feature extract over binary
         # payloads (Arrow mapInPandas), vs the FROZEN Spark-free
         # expected parquet (scripts/freeze_multimodal_oracle.py).
-        # Embedding → quantized ints (floor(f64(x)*1e4)); numeric error
-        # sentinels -1/[] — see the freeze script for why.
+        # Embedding → quantized ints (floor(f64(x)*1e4)) projected as a
+        # comma-joined STRING (the tags_joined pattern): the driver's
+        # canonicalizer sorts raw pandas columns and cannot hash a
+        # list-valued cell, so both sides emit scalars only.
         from lens_spark.corpus import gen_media, media_to_spark
         from lens_spark.operators.multimodal import image_features
 
@@ -374,8 +376,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.coalesce("width", F.lit(-1)).alias("width"),
                 F.coalesce("height", F.lit(-1)).alias("height"),
                 "caption",
-                F.coalesce(emb_q, F.array().cast("array<long>"))
-                .alias("emb_q"),
+                F.array_join(
+                    transform_u(
+                        F.coalesce(emb_q, F.array().cast("array<long>")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("emb_q"),
                 "error",
             )
             .orderBy("media_id")
@@ -899,7 +906,8 @@ def oracle_sql() -> dict[str, str]:
     # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
     fixdir = "/root/repo/tests/fixtures"
     out["image_features"] = f"""
-        select media_id, width, height, caption, emb_q, error
+        select media_id, width, height, caption,
+               coalesce(array_to_string(emb_q, ','), '') as emb_q, error
         from read_parquet('{fixdir}/image_features_expected.parquet')
         order by media_id
     """
