@@ -203,14 +203,18 @@ def write_report(pairs: list[dict], sf_dir: str) -> None:
     # the mirror image of the collapsed-32-core pairs. Such pairs stay
     # in the table (flagged) but are excluded from the claimed best;
     # claiming them would be dishonest.
-    plausible = [p for p in pairs if p["eff"] <= 1.05] or pairs
-    best = max(plausible, key=lambda p: p["eff"])
-    best_mh = max(
-        [p for p in pairs if (p["mh_eff"] or 0) <= 1.05] or pairs,
-        key=lambda p: p["mh_eff"] or 0,
-    )
-    print(f"best pair extract efficiency: {best['eff']}")
-    print(f"best pair minhash efficiency: {best_mh['mh_eff']}")
+    plausible = [p for p in pairs if p["eff"] <= 1.05]
+    # If EVERY pair trips the gate, there is no honest headline — say so
+    # rather than silently promoting a pair the gate itself excluded
+    # (ADVICE r3). The table still shows the flagged pairs.
+    best = max(plausible, key=lambda p: p["eff"]) if plausible else None
+    mh_plausible = [p for p in pairs if (p["mh_eff"] or 0) <= 1.05]
+    best_mh = (max(mh_plausible, key=lambda p: p["mh_eff"] or 0)
+               if mh_plausible else None)
+    best_eff = best["eff"] if best else "no plausible pair"
+    best_mh_eff = best_mh["mh_eff"] if best_mh else "no plausible pair"
+    print(f"best pair extract efficiency: {best_eff}")
+    print(f"best pair minhash efficiency: {best_mh_eff}")
 
     full_pair = next(p for p in pairs if p.get("full"))
     q8 = full_pair["r8"]["queries"]
@@ -295,10 +299,12 @@ BENCH/pairs_history.jsonl).
 |---|---|---|---|---|---|---|---|---|
 {pair_md}
 
-**best plausible-pair extract efficiency = {best['eff']}**
-({'meets' if best['eff'] >= 0.8 else 'BELOW'} the ≥ 0.8 criterion);
-**best plausible-pair dedup_minhash_lsh efficiency = {best_mh['mh_eff']}**
-({'meets' if (best_mh['mh_eff'] or 0) >= 0.8 else 'BELOW'} ≥ 0.8).
+**best plausible-pair extract efficiency = {best_eff}**
+({('meets' if best['eff'] >= 0.8 else 'BELOW') if best else 'n/a —'}
+the ≥ 0.8 criterion);
+**best plausible-pair dedup_minhash_lsh efficiency = {best_mh_eff}**
+({('meets' if (best_mh['mh_eff'] or 0) >= 0.8 else 'BELOW')
+  if best_mh else 'n/a —'} ≥ 0.8).
 Pairs with eff > 1.05 are physically implausible at fixed input — the
 8-core level was storm-slowed while the 32-core level ran clean — and
 are excluded from the headline (the symmetric counterpart of the

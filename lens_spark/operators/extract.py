@@ -136,10 +136,13 @@ def _extract_one(b: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 text, keyword = _extract_image(bytes(payload))
             elif family == "text":
                 # binary-stored payload that sniffs as text: Go
-                # string(contents) is raw bytes — latin-1 is the lossless
-                # Python analogue (v2_util.go:74-75)
+                # string(contents) is a byte-preserving conversion even
+                # for invalid UTF-8 (v2_util.go:74-75); latin-1 is the
+                # lossless Python analogue (every byte round-trips),
+                # where utf-8/replace would destroy non-UTF-8 bytes.
+                # Pinned by tests/test_pipeline.py (non-UTF-8 fixture).
                 kind = "text"
-                text = bytes(payload).decode("utf-8", errors="replace")
+                text = bytes(payload).decode("latin-1")
             else:
                 error = ERR_UNSUPPORTED
         except PdfError as e:

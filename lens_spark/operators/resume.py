@@ -28,14 +28,30 @@ def filter_pending(
     docs: DataFrame,
     done: DataFrame | None,
     reindex: bool = False,
+    quarantined: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents already present in the output table (E15/M4).
 
     ``done``: the current output table (or None when it doesn't exist).
-    ``reindex=True`` bypasses the guard (engine.go:124-126)."""
-    if done is None or reindex:
+    ``quarantined``: the quarantine table; a doc whose spans ALL failed
+    is never written to the output table, so without this anti-join it
+    would be re-extracted on every increment — at 10^12 docs a
+    persistent poison-doc population (corrupt PDFs) becomes a fixed
+    per-increment tax. A quarantined doc that also has good spans IS in
+    ``done``, so the plain distinct-doc_id anti-join here is exactly
+    "quarantined with no good spans" after the ``done`` join.
+    ``reindex=True`` bypasses both guards (engine.go:124-126) — it is
+    the retry override for poisoned docs."""
+    if reindex:
         return docs
-    return docs.join(done.select("doc_id"), "doc_id", "left_anti")
+    out = docs
+    if done is not None:
+        out = out.join(done.select("doc_id"), "doc_id", "left_anti")
+    if quarantined is not None:
+        out = out.join(
+            quarantined.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    return out
 
 
 def lineage_rows(
@@ -115,7 +131,13 @@ def run_resumable(
     from lens_spark.pipeline import extract
 
     done = out_table.read(spark)
-    pending = filter_pending(docs, done, reindex=reindex)
+    quarantined = (
+        quarantine_table.read(spark)
+        if quarantine_table is not None else None
+    )
+    pending = filter_pending(
+        docs, done, reindex=reindex, quarantined=quarantined
+    )
     if pending.isEmpty():
         return 0
     res = extract(pending, cfg)
@@ -131,8 +153,9 @@ def run_resumable(
     n = result.count()
     if n:
         # n == 0 happens when every pending doc fully quarantined (a
-        # doc whose spans ALL fail is never indexed, so it stays pending
-        # and is retried per run — the reference Reindex retry shape);
+        # doc whose spans ALL fail is never indexed; its quarantine rows
+        # below make the NEXT increment skip it — retryable only via
+        # reindex=True, the reference Reindex retry shape);
         # skip the empty MERGE + lineage so reruns don't churn snapshots
         out_table.merge_upsert(result, "doc_id")
         checkpoint_table.append(

@@ -84,8 +84,10 @@ def extract_doc(doc: dict, cfg: ExtractConfig = DEFAULT) -> dict:
                     cfg.html_link_density_max,
                 )
             elif family == "text":
+                # Go string(contents) byte-passthrough → lossless latin-1
+                # (v2_util.go:74-75), mirroring operators/extract.py
                 kind = "text"
-                text = payload.decode("utf-8", errors="replace")
+                text = payload.decode("latin-1")
             elif family == "image":
                 kind = "image"
                 keyword = classify_image(payload)

@@ -68,6 +68,47 @@ def test_reindex_bypasses_guard(spark, tables):
     assert out.read(spark).count() == 5
 
 
+def test_poison_doc_quarantined_once_then_skipped(spark, tmp_path):
+    """A doc whose spans ALL fail is never written to the output table;
+    without the quarantine anti-join it would re-extract every increment
+    (VERDICT r3 #3 — a fixed per-increment tax at 10^12 docs). It must be
+    extracted once, skipped on rerun, and retried only under
+    reindex=True."""
+    out = LensTable(str(tmp_path / "out"))
+    ckpt = LensTable(str(tmp_path / "ckpt"))
+    quar = LensTable(str(tmp_path / "quar"))
+    rows = gen_docs(6, seed=11, with_edge_rows=False)
+    poison = {
+        "doc_id": "doc-poison",
+        # payload sniffs as audio/ogg → unsupported for indexing
+        "spans": [{"kind": "audio",
+                   "text": "T2dnUwACAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+                           "AAAAAAAAAAAAAAAAAA==",
+                   "media_ref": None, "offset": 1}],
+    }
+    docs = docs_to_spark(spark, rows + [poison])
+
+    n1 = run_resumable(spark, docs, out, ckpt, "s0",
+                       quarantine_table=quar)
+    assert n1 == 6  # poison doc yields no good spans → not indexed
+    q1 = quar.read(spark).collect()
+    assert {r["doc_id"] for r in q1} == {"doc-poison"}
+
+    # rerun: poison doc is anti-joined out via the quarantine table —
+    # nothing pending, nothing re-extracted, quarantine unchanged
+    assert run_resumable(spark, docs, out, ckpt, "s0",
+                         quarantine_table=quar) == 0
+    assert quar.read(spark).count() == len(q1)
+
+    # reindex=True is the retry override: the poison doc re-extracts
+    # (still fails, still quarantined exactly once via the MERGE key)
+    n3 = run_resumable(spark, docs, out, ckpt, "s1", reindex=True,
+                       quarantine_table=quar)
+    assert n3 == 6
+    assert quar.read(spark).count() == len(q1)
+    assert out.read(spark).count() == 6
+
+
 def test_table_delete(spark, tmp_path):
     t = LensTable(str(tmp_path / "t"))
     df = spark.createDataFrame(
