@@ -188,6 +188,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def q_search_topk_tfidf(spark, sf):
+        # Q7 tfidf (VERDICT r3 #5): Lucene classic similarity end-to-end
+        # — sqrt(tf)·idf²·queryNorm·fieldNorm — with idf derived from the
+        # one-pass corpus-stats aggregation (_corpus_term_stats). The
+        # oracle recomputes N/df Spark-free over the same parquet with
+        # the same analyzer and embeds identical coefficient literals,
+        # so the formula is pinned end-to-end, not just term counting.
+        from lens_spark.operators.search import (
+            _corpus_term_stats, _group_score, _lucene_idf,
+        )
+
+        terms = ["merge", "shuffle", "vector"]
+        df = _docs(spark, sf).select(
+            "doc_id", analyze(F.col("text")).alias("tokens")
+        )
+        n_docs, dfs = _corpus_term_stats(df, terms)
+        idf = {t: _lucene_idf(c, n_docs) for t, c in dfs.items()}
+        score = _group_score(F.col("tokens"), terms, idf)
+        return (
+            df.select(
+                "doc_id", F.round(score, 6).cast("double").alias("score")
+            )
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(100)
+        )
+
     def q_tokenize(spark, sf):
         # Q6 tokenizer: split ' ', drop len<=1, lowercase — exploded
         d = _docs(spark, sf).filter(F.col("doc_id") < 50)
@@ -254,6 +281,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_ivf_topk(emb, "vec_id", "embedding", _query_vec(),
                             cents, k=25, nprobe=2)
 
+    def q_ann_ivf_stored(spark, sf):
+        # Stored-IVF read path (VERDICT r3 #6): top-k over the FROZEN
+        # hive-partitioned index fixture (scripts/freeze_ivf_index.py —
+        # the write_ivf_index layout). The list_id filter is a partition
+        # predicate, so only the nprobe nearest list directories are
+        # scanned (partition count asserted in tests/test_training_ops);
+        # the oracle scans the same fixture with the same probes.
+        from lens_spark.operators.similarity import (
+            ann_ivf_topk_stored, ivf_centroids_from_parquet,
+        )
+
+        cents = ivf_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            nlist=8, sample=256,
+        )
+        return ann_ivf_topk_stored(
+            spark, "/root/repo/tests/fixtures/ivf_index",
+            _query_vec(), cents, k=25, nprobe=2,
+        )
+
+    def q_stream_first_seen(spark, sf):
+        # Streaming stateful dedup (VERDICT r3 #7): the
+        # applyInPandasWithState first-seen operator run over a REAL
+        # two-micro-batch file stream (maxFilesPerTrigger=1, mtime-ordered
+        # files, availableNow) into a memory sink. The fixture is pure
+        # arithmetic so the DuckDB oracle regenerates it with range();
+        # batch-2 duplicates carry strictly larger `ord`, so first-seen
+        # equals the global arg-min by ord and the oracle is an honest
+        # min/arg_min GROUP BY.
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import uuid
+
+        from lens_spark.streaming.stream import first_seen_filter
+
+        schema = "key bigint, ord bigint, val string"
+        b1 = ([(i, 2 * i, "a") for i in range(300)]
+              + [(i, 2 * i + 1, "b") for i in range(50)])
+        b2 = ([(i, 1000 + i, "c") for i in range(100)]
+              + [(i, 1000 + i, "n") for i in range(300, 350)])
+
+        base = tempfile.mkdtemp(prefix="lens_stream_fs_")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for name, rows, mtime in (("b1", b1, 1_000_000_000),
+                                  ("b2", b2, 2_000_000_000)):
+            tmp = os.path.join(base, "w_" + name)
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.parquet(tmp)
+            f = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+            dst = os.path.join(src, name + ".parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (mtime, mtime))  # pin micro-batch order
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        qname = "first_seen_" + uuid.uuid4().hex[:8]
+        (
+            first_seen_filter(stream, "key", "ord", schema)
+            .writeStream.format("memory").queryName(qname)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(180)
+        )
+        return spark.table(qname).orderBy("key")
+
     def q_emb_neardup(spark, sf):
         # max_bucket=40 (< the 500-row table) keeps the degenerate-bucket
         # cap a LIVE code path in the correctness gate (mirrored in the
@@ -287,6 +387,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id",
                 token_count_ws(F.col("text")).alias("n_ws_tokens"),
                 token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_gopher_quality(spark, sf):
+        # Gopher quality rules (Rae et al. 2021 App. A.1.1 — public):
+        # raw measurements + the composite keep flag, pure Catalyst
+        from lens_spark.functions.text import (
+            gopher_quality_flags, gopher_quality_metrics,
+        )
+
+        m = gopher_quality_metrics(F.col("text"))
+        fl = gopher_quality_flags(F.col("text"))
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                m["n_words"].alias("n_words"),
+                F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+                F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+                F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
+                m["stop_hits"].alias("stop_hits"),
+                fl["keep"].cast("int").alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_repetition(spark, sf):
+        # within-doc repetition (Gopher repetition filters' core):
+        # duplicate-line and duplicate-3-gram fractions
+        from lens_spark.functions.text import repetition_ratios
+
+        r = repetition_ratios(F.col("text"), ngram=3)
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.round(r["dup_line_frac"], 6).alias("dup_line_frac"),
+                F.round(r["dup_ngram_frac"], 6).alias("dup_ngram_frac"),
             )
             .orderBy("doc_id")
         )
@@ -433,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase": q_search_phrase,
         "search_filters": q_search_filters,
         "search_topk": q_search_topk,
+        "search_topk_tfidf": q_search_topk_tfidf,
         "tokenize": q_tokenize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -441,9 +581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_ivf_topk_stored": q_ann_ivf_stored,
+        "stream_first_seen": q_stream_first_seen,
         "embedding_neardup": q_emb_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
+        "gopher_quality": q_gopher_quality,
+        "repetition_ratios": q_repetition,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
         "doc_winnow": q_winnow,
@@ -578,6 +722,41 @@ def oracle_sql() -> dict[str, str]:
         for i, c in enumerate(ivf_cents)
     )
 
+    # tfidf coefficients: N + per-term df computed Spark-free over the
+    # same sf0.01 parquet with the same analyzer (driver compares at
+    # sf0.01 — the ivf-centroid precedent), then idf/queryNorm folded
+    # into per-term literals by the SAME Python code the Spark query's
+    # _group_score uses, so both engines multiply identical doubles
+    import math as _math
+
+    import duckdb as _duckdb
+
+    from lens_spark.operators.search import _lucene_idf
+
+    tfidf_terms = ["merge", "shuffle", "vector"]
+    _df_exprs = ", ".join(
+        f"sum(case when list_contains(tk, '{t}') then 1 else 0 end)"
+        for t in tfidf_terms
+    )
+    _stats = _duckdb.sql(f"""
+        with t as (
+          select {analyze_toks} as tk
+          from read_parquet('/root/testdata/sf0.01/documents.parquet')
+        )
+        select count(*), {_df_exprs} from t
+    """).fetchone()
+    _n_docs = int(_stats[0])
+    _idf = {
+        t: _lucene_idf(int(_stats[i + 1] or 0), _n_docs)
+        for i, t in enumerate(tfidf_terms)
+    }
+    _qnorm = 1.0 / _math.sqrt(sum(v ** 2 for v in _idf.values()) or 1.0)
+    tfidf_comp = " + ".join(
+        f"sqrt(len(list_filter(tk, x -> x = '{t}'))::double)"
+        f" * {_idf[t] ** 2 * _qnorm!r}"
+        for t in tfidf_terms
+    )
+
     # simhash band layout: generated from the SAME helper the Spark
     # operator uses (simhash_bands), max_hamming=8 → 9 bands over 60 bits
     from lens_spark.operators.dedup import simhash_bands
@@ -657,6 +836,17 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(tk, x -> x = 'spark'))
                          / greatest(len(tk), 1), 6)::double as score
             from t
+            order by score desc, doc_id asc limit 100
+        """,
+        "search_topk_tfidf": f"""
+            with t as (select doc_id, {analyze_toks} as tk from documents)
+            select * from (
+              select doc_id,
+                     round(({tfidf_comp})
+                           * (1.0 / sqrt(greatest(len(tk), 1)::double)),
+                           6)::double as score
+              from t
+            ) where score > 0
             order by score desc, doc_id asc limit 100
         """,
         "tokenize": """
@@ -839,6 +1029,85 @@ def oracle_sql() -> dict[str, str]:
                      as quality
             from documents order by doc_id
         """,
+        "gopher_quality": r"""
+            with t as (
+              select doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 w -> len(w) > 0) as ws,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) as lws,
+                     list_filter(string_split(text, chr(10)),
+                                 ln -> len(trim(ln)) > 0) as lines
+              from documents
+            ), m as (
+              select doc_id,
+                     len(ws) as n_words,
+                     greatest(len(ws), 1)::double as nw,
+                     list_sum(list_transform(ws, w -> len(w)))::double
+                       / greatest(len(ws), 1) as mean_word_len,
+                     ((length(text) - length(replace(text, '#', '')))
+                      + len(regexp_extract_all(text, '\.\.\.|…')))
+                       / greatest(len(ws), 1)::double as symbol_ratio,
+                     len(list_filter(ws,
+                         w -> regexp_matches(w, '[A-Za-z]')))
+                       / greatest(len(ws), 1)::double as alpha_word_frac,
+                     len(list_filter(lines, ln ->
+                         regexp_matches(trim(ln), '^([-*•])')))
+                       / greatest(len(lines), 1)::double as bullet_frac,
+                     len(list_filter(lines, ln ->
+                         regexp_matches(trim(ln), '(\.\.\.|…)$')))
+                       / greatest(len(lines), 1)::double as ell_frac,
+                     (list_contains(lws, 'the')::int
+                      + list_contains(lws, 'be')::int
+                      + list_contains(lws, 'to')::int
+                      + list_contains(lws, 'of')::int
+                      + list_contains(lws, 'and')::int
+                      + list_contains(lws, 'that')::int
+                      + list_contains(lws, 'have')::int
+                      + list_contains(lws, 'with')::int) as stop_hits
+              from t
+            )
+            select doc_id, n_words,
+                   round(mean_word_len, 6)::double as mean_word_len,
+                   round(symbol_ratio, 6)::double as symbol_ratio,
+                   round(alpha_word_frac, 6)::double as alpha_word_frac,
+                   stop_hits,
+                   (n_words between 50 and 100000
+                    and mean_word_len between 3.0 and 10.0
+                    and symbol_ratio <= 0.1
+                    and bullet_frac <= 0.9
+                    and ell_frac <= 0.3
+                    and alpha_word_frac >= 0.8
+                    and stop_hits >= 2)::int as keep
+            from m order by doc_id
+        """,
+        "repetition_ratios": r"""
+            with t as (
+              select doc_id,
+                     list_transform(
+                       list_filter(string_split(text, chr(10)),
+                                   ln -> len(trim(ln)) > 0),
+                       ln -> trim(ln)) as lt,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 w -> len(w) > 0) as ws
+              from documents
+            ), g as (
+              select doc_id, lt,
+                     case when len(ws) >= 3 then
+                       [array_to_string(ws[i:i+2], ' ')
+                        for i in range(1, greatest(len(ws)-2, 1)+1)]
+                     else [array_to_string(ws, ' ')] end as grams
+              from t
+            )
+            select doc_id,
+                   round((len(lt) - len(list_distinct(lt)))
+                         / greatest(len(lt), 1)::double, 6)::double
+                     as dup_line_frac,
+                   round((len(grams) - len(list_distinct(grams)))
+                         / greatest(len(grams), 1)::double, 6)::double
+                     as dup_ngram_frac
+            from g order by doc_id
+        """,
         "token_counts": r"""
             select doc_id,
                    len(list_filter(string_split_regex(text, '\s+'),
@@ -915,5 +1184,39 @@ def oracle_sql() -> dict[str, str]:
         select media_id, frame_no, frame_md5, frame_len, error
         from read_parquet('{fixdir}/frame_sample_expected.parquet')
         order by media_id, frame_no
+    """
+    # stored-IVF read path: scan the SAME frozen hive-partitioned index
+    # the Spark query reads, restricted to the same nprobe lists
+    # (`ivf_probes` is computed once above from the shared centroid
+    # literals), same cosine + rounding as the other ann rows
+    out["ann_ivf_topk_stored"] = f"""
+        select id,
+               round(list_dot_product(vec::DOUBLE[], {qv}::DOUBLE[])
+                 / greatest(sqrt(list_dot_product(vec::DOUBLE[],
+                                                  vec::DOUBLE[]))
+                    * sqrt(list_dot_product({qv}::DOUBLE[],
+                                            {qv}::DOUBLE[])), 1e-12),
+                 6)::double as score
+        from read_parquet('{fixdir}/ivf_index/*/*.parquet',
+                          hive_partitioning = true)
+        where list_id::int in ({ivf_probes})
+        order by score desc, id asc limit 25
+    """
+    # streaming first-seen dedup: the fixture batches are pure arithmetic
+    # (see q_stream_first_seen), so the oracle regenerates them with
+    # range() and takes each key's arg-min by ord — equal to first-seen
+    # because later-batch duplicates carry strictly larger ord
+    out["stream_first_seen"] = """
+        with rows_all as (
+          select i as key, 2 * i as ord, 'a' as val from range(300) t(i)
+          union all
+          select i, 2 * i + 1, 'b' from range(50) t(i)
+          union all
+          select i, 1000 + i, 'c' from range(100) t(i)
+          union all
+          select i, 1000 + i, 'n' from range(300, 350) t(i)
+        )
+        select key, min(ord) as ord, arg_min(val, ord) as val
+        from rows_all group by key order by key
     """
     return out

@@ -105,6 +105,141 @@ def quality_score(col: Column) -> Column:
     ).cast("double")
 
 
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A.1.1
+# — public paper; the same rule set underlies C4/MassiveText-style
+# training-data curation). Each rule is a deterministic, SQL-checkable
+# predicate; thresholds are the paper's.
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with"
+)
+
+
+def _doc_lines(col: Column) -> Column:
+    return filter_u(
+        F.split(col, r"\n"), lambda ln: F.length(F.trim(ln)) > 0
+    )
+
+
+def gopher_quality_flags(col: Column) -> Column:
+    """Gopher quality-filter flags as one struct — pure Catalyst, one
+    pass over the text, no shuffle. Fields (thresholds from the paper):
+
+    - ``word_count_ok``: 50 ≤ words ≤ 100 000
+    - ``mean_word_len_ok``: 3 ≤ mean word length ≤ 10
+    - ``symbol_ratio_ok``: (# + '...' occurrences) / words ≤ 0.1
+    - ``bullet_ok``: ≤ 90% of lines start with a bullet
+    - ``ellipsis_ok``: ≤ 30% of lines end with an ellipsis
+    - ``alpha_ok``: ≥ 80% of words contain ≥ 1 alphabetic char
+    - ``stop_ok``: ≥ 2 distinct words of GOPHER_REQUIRED_WORDS present
+    - ``keep``: AND of all of the above
+
+    The ratios behind the flags are exposed by
+    :func:`gopher_quality_metrics` (same expressions) so pipelines can
+    re-threshold without re-reading."""
+    m = gopher_quality_metrics(col)
+    word_count_ok = (m["n_words"] >= 50) & (m["n_words"] <= 100_000)
+    mean_ok = (m["mean_word_len"] >= 3.0) & (m["mean_word_len"] <= 10.0)
+    symbol_ok = m["symbol_ratio"] <= 0.1
+    bullet_ok = m["bullet_line_frac"] <= 0.9
+    ellipsis_ok = m["ellipsis_line_frac"] <= 0.3
+    alpha_ok = m["alpha_word_frac"] >= 0.8
+    stop_ok = m["stop_hits"] >= 2
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (word_count_ok & mean_ok & symbol_ok & bullet_ok & ellipsis_ok
+         & alpha_ok & stop_ok).alias("keep"),
+    )
+
+
+def gopher_quality_metrics(col: Column) -> Column:
+    """The raw Gopher-rule measurements as a struct of doubles/longs —
+    the exact expressions :func:`gopher_quality_flags` thresholds.
+    Divisions are guarded (greatest(·,1)) so empty docs yield 0-valued
+    ratios, not errors (ANSI mode)."""
+    from lens_spark.functions.hof import aggregate_u, transform_u
+
+    words = ws_tokens(col)
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    total_chars = aggregate_u(
+        transform_u(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = total_chars / nw
+    hash_count = F.length(col) - F.length(
+        F.regexp_replace(col, r"#", "")
+    )
+    ellipsis_count = F.size(
+        F.regexp_extract_all(col, F.lit(r"\.\.\.|…"), 0)
+    )
+    symbol_ratio = (hash_count + ellipsis_count) / nw
+    lines = _doc_lines(col)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.size(
+        filter_u(lines, lambda ln: F.trim(ln).rlike(r"^([-*•])"))
+    ) / n_lines
+    ellipsis_line_frac = F.size(
+        filter_u(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    ) / n_lines
+    alpha_frac = F.size(
+        filter_u(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / nw
+    lowered = ws_tokens(F.lower(col))
+    stop_hits = None
+    for m in GOPHER_REQUIRED_WORDS:
+        hit = F.array_contains(lowered, m).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_word_len.cast("double").alias("mean_word_len"),
+        symbol_ratio.cast("double").alias("symbol_ratio"),
+        bullet_frac.cast("double").alias("bullet_line_frac"),
+        ellipsis_line_frac.cast("double").alias("ellipsis_line_frac"),
+        alpha_frac.cast("double").alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+
+
+def repetition_ratios(col: Column, ngram: int = 3) -> Column:
+    """Within-document repetition measurements (the Gopher repetition
+    filters' SQL-checkable core): struct of
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty lines
+    - ``dup_ngram_frac``: 1 − distinct/total over word ``ngram``-grams
+
+    Pure Catalyst, bounded per doc, no shuffle. The paper thresholds
+    (dup_line_frac ≤ 0.3, dup 3-gram char fraction by size) apply
+    downstream; this exposes the measurements."""
+    from lens_spark.functions.hof import transform_u
+
+    lines = transform_u(_doc_lines(col), lambda ln: F.trim(ln))
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    dup_line = (F.size(lines) - F.size(F.array_distinct(lines))) / nl
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= ngram,
+        transform_u(
+            F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    ng = F.greatest(F.size(grams), F.lit(1)).cast("double")
+    dup_gram = (F.size(grams) - F.size(F.array_distinct(grams))) / ng
+    return F.struct(
+        dup_line.cast("double").alias("dup_line_frac"),
+        dup_gram.cast("double").alias("dup_ngram_frac"),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """lowercase + collapse whitespace + trim — the canonical form used
     for exact-dup hashing and fingerprinting."""

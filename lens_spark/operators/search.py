@@ -72,6 +72,16 @@ STOP_WORDS_EN = frozenset(
     .split()
 )
 
+# Version stamp of the content analyzer (``analyze``): v1 = the round-2
+# ASCII separator class, v2 = the Unicode ``[^\p{L}\p{N}]+`` class
+# (ADVICE r2). ``prepare_search_index`` stamps it on the materialized
+# table; ``search()`` re-analyzes (with a warning) when a stored table
+# carries a different or missing stamp — silently trusting v1 tokens
+# would mismatch Unicode query tokens ('café' tokenized as 'caf') with
+# no error (ADVICE r3). Bump this whenever ``analyze`` changes
+# behavior; existing tables then re-analyze until reindexed.
+ANALYZER_VERSION = 2
+
 
 class EmptyQueryError(Exception):
     """reference v2.go:150-158: reject if no query and no options"""
@@ -178,10 +188,31 @@ def prepare_search_index(extracted: DataFrame,
     shortcut that stops being acceptable at 10^9 docs). Store the result
     (e.g. ``table.merge_upsert(prepare_search_index(df), 'doc_id')``);
     ``search()`` detects the materialized `tokens` column and skips
-    per-query analysis."""
+    per-query analysis.
+
+    The output carries an ``analyzer_version`` stamp (see
+    ``ANALYZER_VERSION``) so a later engine with a changed analyzer
+    detects the mismatch instead of silently comparing differently-
+    tokenized streams. Note the LensTable layer does not schema-evolve
+    carried-forward buckets: adding the stamp to a table written by a
+    pre-stamp engine requires a reindex (``reindex=True``), which is
+    also what refreshes the stale tokens themselves."""
     return doc_content(extracted).withColumn(
         "tokens", analyze(F.col("content"), cfg.remove_stop_words)
-    )
+    ).withColumn("analyzer_version", F.lit(ANALYZER_VERSION))
+
+
+def _stored_analyzer_version(df: DataFrame):
+    """Version stamp of a stored tokens table: the stamped value, or
+    None when the table is EMPTY (nothing can mismatch). A tokens table
+    WITHOUT the stamp column returns -1 (unknown provenance — written
+    by a pre-stamp engine, possibly with the v1 ASCII analyzer):
+    treated as a mismatch, because trusting it silently is exactly the
+    bug the stamp exists to prevent."""
+    if "analyzer_version" not in df.columns:
+        return -1
+    row = df.select("analyzer_version").first()
+    return None if row is None else row[0]
 
 
 def _phrase_clause(tokens_col: Column, phrase: str,
@@ -291,9 +322,25 @@ def search(
     # Contract: stored tokens were produced with the INDEX-time cfg; a
     # per-query cfg with different stop-word handling does not re-analyze
     # (bleve behaves the same way — the analyzer is part of the index
-    # mapping, not the query).
+    # mapping, not the query). Stored tokens are trusted ONLY when their
+    # analyzer_version stamp matches the running engine's (ADVICE r3: a
+    # v1-ASCII-tokenized table silently mismatches v2 Unicode query
+    # tokens); a missing/stale stamp falls back to re-analysis with a
+    # warning. The stamp probe is a limit-1 job on one column — O(one
+    # partition), paid once per search() call on a stored table.
     if "tokens" in extracted.columns:
-        df = extracted
+        if _stored_analyzer_version(extracted) in (ANALYZER_VERSION, None):
+            df = extracted
+        else:
+            import warnings
+
+            warnings.warn(
+                "stored tokens were produced by a different analyzer "
+                f"version (table != engine v{ANALYZER_VERSION}); "
+                "re-analyzing per query — reindex to refresh the table",
+                stacklevel=2,
+            )
+            df = prepare_search_index(extracted, cfg)
     else:
         df = prepare_search_index(extracted, cfg)
 

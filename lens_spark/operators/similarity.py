@@ -327,6 +327,7 @@ def embedding_neardup_pairs(
     num_planes: int = 6,
     dim: int | None = None,
     max_bucket: int = 200,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked then cosine-verified.
 
@@ -349,7 +350,8 @@ def embedding_neardup_pairs(
     bucket are near-identical to >max_bucket others and belong to exact /
     coarser dedup, not pairwise verification. The window count runs on
     the same (bucket) partitioning as the groupBy — no extra shuffle —
-    and buffers rows (spillable) instead of arrays."""
+    and buffers rows (spillable) instead of arrays. Pass an
+    ``Observation`` to meter the drop (dedup.observe_cap_drops)."""
     if dim is None:
         # one-row probe — fine interactively; pipelines should pass `dim`
         # so the plan needs no pre-action (VERDICT r1 note)
@@ -362,9 +364,14 @@ def embedding_neardup_pairs(
     )
     from pyspark.sql import Window
 
+    from lens_spark.operators.dedup import observe_cap_drops
+
     w = Window.partitionBy("bucket")
     sized = (
-        with_b.withColumn("bucket_n", F.count("*").over(w))
+        observe_cap_drops(
+            with_b.withColumn("bucket_n", F.count("*").over(w)),
+            "bucket_n", max_bucket, observation, "emb_neardup",
+        )
         .filter(
             (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket)
         )

@@ -2,7 +2,7 @@
 ``queries()`` entry via Spark and its ``oracle_sql()`` via DuckDB on the
 same parquet tables, compare row count + schema-sorted value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir] [only_query_name]
+Usage: python scripts/check_oracle.py [sf_dir] [only_query_name ...]
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ def canon(df) -> tuple[int, str, list[str]]:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2] if len(sys.argv) > 2 else None
+    only = set(sys.argv[2:]) or None
 
     import __spark_entry__ as entrymod
     from lens_spark.session import get_spark
@@ -58,7 +58,7 @@ def main() -> None:
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name != only:
+        if only and name not in only:
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()

@@ -150,11 +150,12 @@ def test_quarantine_persisted_via_api(spark, lens):
     assert q[0]["error"] == "unsupported content type for indexing"
     assert q[0]["input_snapshot_id"] == "snap-q"
 
-    # RERUN idempotence (round 3): doc-bad-kind IS indexed (text span
-    # succeeded) so nothing is pending; a doc whose spans ALL fail stays
-    # pending and is retried, but its quarantine row must be UPDATED
-    # (merge on doc_id:offset), never duplicated, and the output table
-    # must not churn snapshots on an empty increment.
+    # RERUN idempotence (round 4): doc-bad-kind IS indexed (text span
+    # succeeded) so nothing is pending; a doc whose spans ALL fail is
+    # quarantined ONCE and then anti-joined out of later increments
+    # (quarantine-aware resume — no per-increment poison-doc tax), the
+    # output table must not churn snapshots on an empty increment, and
+    # reindex=True is the explicit retry that refreshes the row.
     rows.append({
         "doc_id": "doc-all-bad",
         "spans": [{"kind": "audio", "text": ogg, "media_ref": None,
@@ -168,4 +169,13 @@ def test_quarantine_persisted_via_api(spark, lens):
     assert lens.out.current_snapshot() == before  # no empty MERGE
     q2 = {r["doc_id"]: r for r in lens.quarantine.read(spark).collect()}
     assert set(q2) == {"doc-bad-kind", "doc-all-bad"}  # no dupes
-    assert q2["doc-all-bad"]["input_snapshot_id"] == "snap-q4"  # updated
+    # quarantined on first sight (snap-q2), then SKIPPED — later
+    # increments never re-extract the poison doc
+    assert q2["doc-all-bad"]["input_snapshot_id"] == "snap-q2"
+    # explicit retry: reindex bypasses the quarantine guard and the
+    # MERGE on doc_id:offset updates (not duplicates) the row
+    lens.index(docs_to_spark(spark, rows), snapshot_id="snap-q5",
+               reindex=True)
+    q3 = {r["doc_id"]: r for r in lens.quarantine.read(spark).collect()}
+    assert set(q3) == {"doc-bad-kind", "doc-all-bad"}
+    assert q3["doc-all-bad"]["input_snapshot_id"] == "snap-q5"

@@ -291,3 +291,37 @@ def test_prepared_index_skips_reanalysis(spark, indexed, tmp_path):
     assert a == b
     plan = formatted_plan(search(prepared, q))
     assert "split(" not in plan  # no re-tokenization at query time
+
+
+def test_analyzer_version_guard(spark, indexed, tmp_path):
+    """ADVICE r3: stored tokens are trusted only when their
+    analyzer_version stamp matches the engine; a stale or missing stamp
+    falls back to re-analysis (with a warning) instead of silently
+    comparing differently-tokenized streams."""
+    from lens_spark.operators.search import (
+        ANALYZER_VERSION, prepare_search_index,
+    )
+    from lens_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "stamped")
+    prepare_search_index(indexed).write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert stored.select("analyzer_version").first()[0] == ANALYZER_VERSION
+    q = Query(required=["storage words"])
+    assert "split(" not in formatted_plan(search(stored, q))
+
+    # stale stamp → re-analyzed (tokenizer back in the plan) + warning
+    stale = stored.withColumn("analyzer_version", F.lit(1))
+    with pytest.warns(UserWarning, match="analyzer"):
+        plan_stale = formatted_plan(search(stale, q))
+    assert "split(" in plan_stale
+    with pytest.warns(UserWarning):
+        a = [r["doc_id"] for r in search(stale, q).collect()]
+    assert a == [r["doc_id"] for r in search(indexed, q).collect()]
+
+    # tokens column without any stamp (pre-stamp table, unknown
+    # analyzer) → also re-analyzed
+    legacy = stored.drop("analyzer_version")
+    with pytest.warns(UserWarning, match="analyzer"):
+        plan_legacy = formatted_plan(search(legacy, q))
+    assert "split(" in plan_legacy

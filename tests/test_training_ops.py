@@ -216,6 +216,122 @@ def test_simhash_hot_key_cap(spark):
                          max_bucket=200).count() == 30 * 29 // 2
 
 
+def test_gopher_quality_rules(spark):
+    """Gopher filter rules (Rae et al. 2021 App. A.1.1) on crafted docs:
+    each rule must fire on the doc built to violate it and pass on a
+    clean doc; repetition ratios must count duplicate lines/3-grams."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.functions.text import (
+        gopher_quality_flags, gopher_quality_metrics, repetition_ratios,
+    )
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "continues to run with great speed because it must have "
+             "been chased by something that it feared deeply ") * 3
+    bullets = "\n".join(f"- bullet item {i}" for i in range(10))
+    ellipses = "\n".join(f"line that trails off {i}..." for i in range(10))
+    symbols = "# " * 60
+    short = "too short"
+    no_stop = "alpha beta gamma delta " * 20
+    dup_lines = "\n".join(["same line of text"] * 8 + ["unique line"])
+
+    rows = [("clean", clean), ("bullets", bullets),
+            ("ellipses", ellipses), ("symbols", symbols),
+            ("short", short), ("nostop", no_stop),
+            ("duplines", dup_lines)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            gopher_quality_flags(F.col("text")).alias("fl"),
+            gopher_quality_metrics(F.col("text")).alias("m"),
+            repetition_ratios(F.col("text"), 3).alias("rep"),
+        ).collect()
+    }
+
+    assert out["clean"]["fl"]["keep"]
+    assert not out["bullets"]["fl"]["bullet_ok"]
+    assert not out["ellipses"]["fl"]["ellipsis_ok"]
+    assert not out["symbols"]["fl"]["symbol_ratio_ok"]
+    assert not out["symbols"]["fl"]["alpha_ok"]  # '#' words, no letters
+    assert not out["short"]["fl"]["word_count_ok"]
+    assert not out["nostop"]["fl"]["stop_ok"]
+    assert out["nostop"]["m"]["stop_hits"] == 0
+    assert out["clean"]["m"]["stop_hits"] >= 2
+
+    # repetition: 8 of 9 lines are the same → 7 duplicate occurrences
+    assert abs(out["duplines"]["rep"]["dup_line_frac"] - 7 / 9) < 1e-9
+    # clean text repeats its sentence 3x → heavy 3-gram duplication
+    assert out["clean"]["rep"]["dup_ngram_frac"] > 0.5
+    assert out["short"]["rep"]["dup_ngram_frac"] == 0.0
+
+
+def test_cap_drops_are_observable(spark):
+    """ADVICE r3: over-cap truncation must be metered, not silent. The
+    Observation metrics ride the caller's action (no extra pass) and
+    report the rows living in over-cap groups plus the largest group.
+    The all-dropped case needs AQE_EMPTY_RELATION_RULE excluded (the
+    collapsed empty plan otherwise eliminates the metrics node —
+    measured Spark 4.1 behavior); cap_metrics() tolerates the drop."""
+    from pyspark.sql import Observation
+
+    from lens_spark.operators.dedup import (
+        AQE_EMPTY_RELATION_RULE, cap_metrics,
+    )
+
+    rows = [(i, "identical boilerplate text repeated everywhere always")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    vrows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)]
+    vdf = spark.createDataFrame(vrows,
+                                "vec_id int, embedding array<float>")
+
+    conf_key = "spark.sql.adaptive.optimizer.excludedRules"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, AQE_EMPTY_RELATION_RULE)
+    try:
+        obs = Observation("simhash-caps")
+        out = simhash_pairs(df, "id", "text", max_hamming=3,
+                            max_bucket=10, observation=obs)
+        assert out.count() == 0
+        m = cap_metrics(obs)
+        # 30 identical docs × 4 bands (max_hamming=3), every key over-cap
+        assert m["simhash_rows_in_overcap_groups"] == 30 * 4
+        assert m["simhash_max_group_size"] == 30
+
+        obs2 = Observation("emb-caps")
+        assert embedding_neardup_pairs(
+            vdf, "vec_id", "embedding", threshold=0.5, num_planes=2,
+            dim=4, max_bucket=10, observation=obs2,
+        ).count() == 0
+        m2 = cap_metrics(obs2)
+        assert m2["emb_neardup_rows_in_overcap_groups"] == 30
+        assert m2["emb_neardup_max_group_size"] == 30
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+
+    # under-cap: metrics report zero dropped (results unchanged), and no
+    # AQE exclusion is needed because the plan never collapses
+    obs3 = Observation("simhash-caps-ok")
+    n = simhash_pairs(df, "id", "text", max_hamming=3, max_bucket=200,
+                      observation=obs3).count()
+    assert n == 30 * 29 // 2
+    assert cap_metrics(obs3)["simhash_rows_in_overcap_groups"] == 0
+
+    # without the exclusion, an all-dropped plan may lose the metrics
+    # row; cap_metrics degrades to None instead of raising
+    obs4 = Observation("simhash-caps-collapsed")
+    assert simhash_pairs(df, "id", "text", max_hamming=3, max_bucket=10,
+                         observation=obs4).count() == 0
+    assert cap_metrics(obs4) in (None,) or isinstance(
+        cap_metrics(obs4), dict)
+
+
 def test_hyperplanes_deterministic():
     assert hyperplane_signs(0, 8) == hyperplane_signs(0, 8)
     assert hyperplane_signs(0, 8) != hyperplane_signs(1, 8)
