@@ -84,10 +84,18 @@ def extract_doc(doc: dict, cfg: ExtractConfig = DEFAULT) -> dict:
                     cfg.html_link_density_max,
                 )
             elif family == "text":
-                # Go string(contents) byte-passthrough → lossless latin-1
-                # (v2_util.go:74-75), mirroring operators/extract.py
                 kind = "text"
-                text = payload.decode("latin-1")
+                if kind_in in ("text", "html"):
+                    # string-stored span: the payload was never bytes, so
+                    # this is an identity passthrough (pipeline._norm_text,
+                    # dispatch `is_plain_text`) — NOT a decode of the
+                    # utf-8 re-encoding (which would mojibake non-ASCII).
+                    text = text_in
+                else:
+                    # binary-stored payload sniffing as text: Go
+                    # string(contents) byte-passthrough → lossless latin-1
+                    # (v2_util.go:74-75), mirroring operators/extract.py
+                    text = payload.decode("latin-1")
             elif family == "image":
                 kind = "image"
                 keyword = classify_image(payload)

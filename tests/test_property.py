@@ -1,0 +1,143 @@
+"""Property-based check of the per-row invariant (BASELINE input_hint):
+for ANY interleaved document — adversarial unicode, random binary
+payloads wearing magic-number prefixes, duplicate-free random offsets —
+the distributed pipeline's (kind, text, media_ref, order) sequence,
+doc-level metadata, and quarantine rows equal the single-threaded
+reference-semantics oracle's.
+
+Each hypothesis example is one whole corpus run through ONE Spark job
+(per-doc examples would pay JVM latency 100x); shrinking still works at
+corpus granularity. Examples are capped (Spark jobs are ~seconds each);
+the fixed seed corpus in test_pipeline.py remains the broad-coverage
+gate, this adds the adversarial tail.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from lens_spark.corpus import docs_to_spark
+from lens_spark.oracle import extract_corpus
+from lens_spark.pipeline import extract
+
+# payload prefixes that steer the sniffer into every dispatch branch:
+# text, HTML, PDF, PNG, OGG (unsupported), and raw noise
+_MAGIC = [
+    b"",
+    b"<!DOCTYPE html><html><body><p>",
+    b"%PDF-",
+    b"\x89PNG\r\n\x1a\n",
+    b"GIF87a",
+    b"OggS\x00\x02",
+    b"\x00\x01\x02\x03",
+]
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+)
+
+
+def _b64(b: bytes) -> str:
+    return base64.b64encode(b).decode("ascii")
+
+
+_binary_payload = st.builds(
+    lambda prefix, body: _b64(prefix + body),
+    st.sampled_from(_MAGIC),
+    st.binary(max_size=60),
+)
+
+_span = st.one_of(
+    # textual-stored span
+    st.builds(
+        lambda t: {"kind": "text", "text": t, "media_ref": None},
+        _text,
+    ),
+    # media span
+    st.builds(
+        lambda ref: {"kind": "media", "text": None, "media_ref": ref},
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+    ),
+    # binary-stored span under a random declared kind
+    st.builds(
+        lambda kind, payload: {"kind": kind, "text": payload,
+                               "media_ref": None},
+        st.sampled_from(["blob", "pdf", "image", "audio", "bin"]),
+        _binary_payload,
+    ),
+    # declared binary kind with garbage (non-base64) text → no-content
+    st.builds(
+        lambda t: {"kind": "blob", "text": t + "!!not-base64!!",
+                   "media_ref": None},
+        _text,
+    ),
+)
+
+
+@st.composite
+def _doc(draw, doc_no: int = 0):
+    spans = draw(st.lists(_span, max_size=5))
+    offsets = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=len(spans), max_size=len(spans), unique=True,
+        )
+    )
+    return {
+        "doc_id": draw(
+            st.text(alphabet="abcdefghijklmnop0123456789-",
+                    min_size=1, max_size=24)
+        ),
+        "spans": [
+            {**s, "offset": off} for s, off in zip(spans, offsets)
+        ],
+    }
+
+
+_corpus = st.lists(_doc(), min_size=1, max_size=12).map(
+    # unique doc_ids (duplicate input ids are out of contract — the
+    # table MERGE dedups them, but the raw pipeline is per-row)
+    lambda docs: list({d["doc_id"]: d for d in docs}.values())
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_corpus)
+def test_pipeline_equals_oracle_on_random_corpora(spark, rows):
+    expected = extract_corpus(rows)
+    res = extract(docs_to_spark(spark, rows))
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in res.extracted.collect()
+    }
+    quar = {
+        (r["doc_id"], r["offset"]): r["error"]
+        for r in res.quarantine.collect()
+    }
+
+    assert set(got) == {e["doc_id"] for e in expected if e["indexed"]}
+    for e in expected:
+        for off, _kind, err in e["quarantine"]:
+            assert quar.get((e["doc_id"], off)) == err, (
+                f"quarantine mismatch for {e['doc_id']}@{off}"
+            )
+        if not e["indexed"]:
+            continue
+        g = got[e["doc_id"]]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in g["spans"]
+        ]
+        assert got_spans == e["spans"], f"span mismatch for {e['doc_id']}"
+        assert g["mime_type"] == e["mime_type"], e["doc_id"]
+        assert g["category"] == e["category"], e["doc_id"]
+        assert g["tags"] == e["tags"], e["doc_id"]
