@@ -562,6 +562,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("bucket")
         )
 
+    def q_dedup_clusters(spark, sf):
+        # transitive closure of the simhash pair graph (same pair params
+        # as dedup_simhash) via alternating large-star/small-star;
+        # cluster_id = component-minimum doc_id — deterministic, so the
+        # DuckDB recursive-CTE closure must agree exactly
+        from pyspark.sql import Window
+
+        from lens_spark.operators.cluster import connected_components
+
+        pairs = simhash_pairs(
+            _docs(spark, sf).filter(F.col("doc_id") < 300),
+            "doc_id", "text", max_hamming=8,
+        )
+        labels = connected_components(pairs)
+        w = Window.partitionBy("cluster_id")
+        return (
+            labels.select(F.col("node").alias("doc_id"), "cluster_id")
+            .withColumn("csize", F.count("*").over(w).cast("long"))
+            .withColumn(
+                "keep",
+                (F.col("doc_id") == F.col("cluster_id")).cast("int"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_c4_clean(spark, sf):
+        # the flat corpus is single-line word soup (no newlines, no
+        # periods), so both engines first derive the SAME multi-line,
+        # punctuated text — literal replace turns frequent ' table '
+        # boundaries into sentence breaks, and doc_id-keyed suffixes
+        # plant javascript / lorem-ipsum / brace contamination so every
+        # C4 rule fires on a known subset
+        from lens_spark.functions.text import c4_clean
+
+        lined = F.replace(
+            F.col("text"), F.lit(" table "), F.lit(".\ntable ")
+        )
+        aug = F.concat(
+            lined,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nEnable javascript today."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nconfig = { }"),
+            ).otherwise(F.lit("")),
+        )
+        c = c4_clean(aug)
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.md5(c["clean_text"]).alias("clean_md5"),
+                c["n_kept"].cast("int").alias("n_kept"),
+                c["n_dropped"].cast("int").alias("n_dropped"),
+                c["has_lorem"].alias("has_lorem"),
+                c["has_brace"].alias("has_brace"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_pii_redact(spark, sf):
+        # the synthetic corpus carries no PII, so both engines append the
+        # SAME deterministic doc_id-derived contact block — every row
+        # then exercises all three redaction passes with nonzero counts
+        from lens_spark.functions.text import pii_redact
+
+        aug = F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, call +1 (555) 123-4567 x"),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        )
+        r = pii_redact(aug)
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                F.md5(r["redacted"]).alias("red_md5"),
+                r["n_email"].alias("n_email"),
+                r["n_ip"].alias("n_ip"),
+                r["n_phone"].alias("n_phone"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_embedding_quantize(spark, sf):
+        from lens_spark.operators.similarity import quantize_int8
+
+        qz = quantize_int8(F.col("embedding"))
+        return (
+            _emb(spark, sf)
+            .select(
+                F.col("vec_id").alias("id"),
+                F.floor(qz["scale"] * F.lit(10000.0))
+                .cast("long")
+                .alias("scale_q"),
+                F.array_join(
+                    transform_u(qz["q"], lambda v: v.cast("string")), ","
+                ).alias("q_joined"),
+            )
+            .orderBy("id")
+        )
+
+    def q_pack_sequences(spark, sf):
+        from lens_spark.operators.pack import pack_sequences
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            "source",
+            token_count_ws(F.col("text")).alias("n_tok"),
+        )
+        return (
+            pack_sequences(d, "doc_id", "source", "n_tok", max_tokens=256)
+            .select(
+                F.col("group").alias("source"),
+                F.col("id").alias("doc_id"),
+                F.col("n_tokens").cast("int").alias("n_tok"),
+                F.col("seq_id").cast("long").alias("seq_id"),
+                F.col("seq_pos").cast("int").alias("seq_pos"),
+            )
+            .orderBy("source", "doc_id")
+        )
+
     return {
         "mime_sniff": q_mime_sniff,
         "explode_reassemble": q_explode_reassemble,
@@ -578,6 +711,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "c4_clean": q_c4_clean,
+        "pii_redact": q_pii_redact,
+        "embedding_quantize": q_embedding_quantize,
+        "pack_sequences": q_pack_sequences,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1218,5 +1356,160 @@ def oracle_sql() -> dict[str, str]:
         )
         select key, min(ord) as ord, arg_min(val, ord) as val
         from rows_all group by key order by key
+    """
+    # connected components over the simhash pair graph: the pair CTE is
+    # the dedup_simhash SQL verbatim (bands already substituted), closed
+    # transitively with a recursive reachability CTE; cluster_id =
+    # min(reachable) — the same graph property the alternating-star
+    # algorithm converges to, computed a completely different way
+    out["dedup_clusters"] = f"""
+        with recursive pairs as ({out["dedup_simhash"]}),
+        edges as (
+          select id_a as u, id_b as v from pairs
+          union
+          select id_b, id_a from pairs
+        ),
+        nodes as (select distinct u from edges),
+        reach as (
+          select u, u as x from nodes
+          union
+          select r.u, e.v as x from reach r join edges e on r.x = e.u
+        ),
+        lab as (
+          select u as doc_id, min(x) as cluster_id from reach group by u
+        )
+        select doc_id, cluster_id,
+               (count(*) over (partition by cluster_id))::bigint as csize,
+               (case when doc_id = cluster_id then 1 else 0 end)::int
+                 as keep
+        from lab order by doc_id
+    """
+    # C4 line rules (same predicate text as functions/text.py::c4_clean)
+    # over the same derived multi-line text as the Spark side
+    out["c4_clean"] = r"""
+        with aug as (
+          select doc_id,
+                 replace(text, ' table ', '.' || chr(10) || 'table ')
+                 || case when doc_id % 7 = 0
+                         then chr(10) || 'Enable javascript today.'
+                         else '' end
+                 || case when doc_id % 11 = 0
+                         then chr(10) || 'lorem ipsum dolor sit amet.'
+                         else '' end
+                 || case when doc_id % 13 = 0
+                         then chr(10) || 'config = { }'
+                         else '' end as text
+          from documents
+        ), L as (
+          select doc_id, text,
+                 string_split(text, chr(10)) as lines
+          from aug
+        ), K as (
+          select doc_id, text, lines,
+                 list_filter(lines, l ->
+                   (right(trim(l), 1) in ('.', '!', '?', '"', ''''))
+                   and len(list_filter(
+                         string_split_regex(trim(l), '\s+'),
+                         t -> len(t) > 0)) >= 3
+                   and not contains(lower(trim(l)), 'javascript')
+                 ) as kept
+          from L
+        )
+        select doc_id,
+               md5(coalesce(array_to_string(
+                     list_transform(kept, l -> trim(l)), chr(10)),
+                   '')) as clean_md5,
+               len(kept)::int as n_kept,
+               (len(lines) - len(kept))::int as n_dropped,
+               contains(lower(text), 'lorem ipsum')::int as has_lorem,
+               contains(text, '{')::int as has_brace
+        from K order by doc_id
+    """
+    # PII redaction: same deterministic augmentation + the same three
+    # Java/RE2-portable patterns applied in the same order
+    from lens_spark.functions.text import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+    )
+
+    out["pii_redact"] = f"""
+        with aug as (
+          select doc_id,
+                 text || ' Contact user' || doc_id::varchar
+                      || '@example.com or 10.0.'
+                      || (doc_id % 256)::varchar
+                      || '.7, call +1 (555) 123-4567 x'
+                      || doc_id::varchar || '.' as t
+          from documents
+        ), p1 as (
+          select doc_id,
+                 len(regexp_extract_all(t, '{PII_EMAIL_RE}')) as n_email,
+                 regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') as t1
+          from aug
+        ), p2 as (
+          select doc_id, n_email,
+                 len(regexp_extract_all(t1, '{PII_IPV4_RE}')) as n_ip,
+                 regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') as t2
+          from p1
+        ), p3 as (
+          select doc_id, n_email, n_ip,
+                 len(regexp_extract_all(t2, '{PII_PHONE_RE}')) as n_phone,
+                 regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') as t3
+          from p2
+        )
+        select doc_id, md5(t3) as red_md5,
+               n_email::int as n_email, n_ip::int as n_ip,
+               n_phone::int as n_phone
+        from p3 order by doc_id
+    """
+    # int8 quantization: identical float→double cast, 127/max|x| scale,
+    # floor(x·scale + 0.5) code — both engines in IEEE doubles
+    out["embedding_quantize"] = """
+        with d as (
+          select vec_id as id, embedding::DOUBLE[] as e from embeddings
+        ), s as (
+          select id, e,
+                 list_max(list_transform(e, x -> abs(x))) as m
+          from d
+        ), sc as (
+          select id, e,
+                 case when m > 0 then 127.0 / m else 0.0 end as scale
+          from s
+        )
+        select id,
+               floor(scale * 10000.0)::bigint as scale_q,
+               array_to_string(
+                 list_transform(
+                   e, x -> (floor(x * scale + 0.5)::int)::varchar),
+                 ',') as q_joined
+        from sc order by id
+    """
+    # next-fit packing: the sequential recurrence as a recursive CTE
+    # stepping row_number order within each source group — acc/seq carry
+    # exactly the applyInPandas loop's state transition
+    out["pack_sequences"] = r"""
+        with recursive d as (
+          select source, doc_id,
+                 len(list_filter(string_split_regex(text, '\s+'),
+                     t -> len(t) > 0))::int as n_tok,
+                 row_number() over (partition by source
+                                    order by doc_id) as rn
+          from documents
+        ), pk as (
+          select source, rn, doc_id, n_tok,
+                 n_tok as acc, 0::bigint as seq
+          from d where rn = 1
+          union all
+          select d.source, d.rn, d.doc_id, d.n_tok,
+                 case when pk.acc > 0 and pk.acc + d.n_tok > 256
+                      then d.n_tok else pk.acc + d.n_tok end,
+                 case when pk.acc > 0 and pk.acc + d.n_tok > 256
+                      then pk.seq + 1 else pk.seq end
+          from pk join d
+            on d.source = pk.source and d.rn = pk.rn + 1
+        )
+        select source, doc_id, n_tok, seq as seq_id,
+               (row_number() over (partition by source, seq
+                                   order by doc_id) - 1)::int as seq_pos
+        from pk order by source, doc_id
     """
     return out

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from lens_spark.functions.hof import filter_u
+from lens_spark.functions.hof import filter_u, transform_u
 
 # marker words per language — tiny curated sets; voting is by hit count
 LANG_MARKERS: dict[str, tuple] = {
@@ -296,3 +296,79 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
         ),
     ).otherwise(F.array(F.array_min(grams)))
     return F.array_sort(F.array_distinct(selected))
+
+
+# C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# public paper). Line rules: keep only lines that end in a terminal
+# punctuation mark, have ≥ `min_words` words, and do not mention
+# "javascript"; document flags: "lorem ipsum" and curly-brace (code)
+# contamination. All pure Catalyst — one pass, no shuffle, SQL-checkable.
+C4_TERMINALS = (".", "!", "?", '"', "'")
+
+
+def _c4_line_ok(ln: Column, min_words: int) -> Column:
+    t = F.trim(ln)
+    ends_ok = F.substring(t, -1, 1).isin(*C4_TERMINALS)
+    return (
+        ends_ok
+        & (F.size(ws_tokens(t)) >= min_words)
+        & ~F.contains(F.lower(t), F.lit("javascript"))
+    )
+
+
+def c4_clean(col: Column, min_words: int = 3) -> Column:
+    """C4 cleaning as one struct:
+
+    - ``clean_text``: surviving lines re-joined with ``\\n``
+    - ``n_kept`` / ``n_dropped``: line-filter accounting (the repo's
+      no-silent-drops convention — filtering that can delete 90% of a
+      crawl must be observable without a second pass)
+    - ``has_lorem`` / ``has_brace``: document-level contamination flags
+      (C4 discards these documents outright; the flag is emitted instead
+      of the drop so callers choose the policy)
+    """
+    lines = F.split(col, r"\n")
+    kept = filter_u(lines, lambda ln: _c4_line_ok(ln, min_words))
+    kept_trimmed = transform_u(kept, F.trim)
+    low = F.lower(col)
+    return F.struct(
+        F.array_join(kept_trimmed, "\n").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_dropped"),
+        F.contains(low, F.lit("lorem ipsum")).cast("int").alias("has_lorem"),
+        F.contains(col, F.lit("{")).cast("int").alias("has_brace"),
+    )
+
+
+# PII redaction — the standard pre-training scrub (emails, IPv4s,
+# phone-like digit runs) as sequential regexp_replace passes. The
+# patterns deliberately use only the regex subset where Java
+# (java.util.regex, Spark's engine) and RE2 (DuckDB's) agree byte-for-
+# byte: ASCII classes, bounded quantifiers, non-capturing groups, \b —
+# no lookaround, no backrefs — so the oracle can run the SAME patterns.
+# Order matters and is part of the contract: emails first (their local
+# part may contain digit runs), then IPv4 (dots would otherwise split
+# into phone-ish fragments), then phones over the already-redacted text.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_redact(col: Column) -> Column:
+    """Redact emails → IPv4s → phone-like runs; returns a struct of the
+    redacted text and per-category match counts (counts are measured on
+    the text as each pass sees it, so they equal the number of
+    substitutions actually made)."""
+    n_email = F.regexp_count(col, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return F.struct(
+        t3.alias("redacted"),
+        n_email.cast("int").alias("n_email"),
+        n_ip.cast("int").alias("n_ip"),
+        n_phone.cast("int").alias("n_phone"),
+    )

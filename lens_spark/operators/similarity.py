@@ -398,3 +398,28 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------- quantization
+def quantize_int8(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization (the FAISS/SQ8 storage
+    scheme): scale = 127 / max|x|, q_i = floor(x_i·scale + 0.5).
+
+    Pure Catalyst — at 100 TB this is a map-only projection that shrinks
+    an embedding column 4x (float32 → int8 semantics; Spark stores the
+    elements as int, a sink can downcast to tinyint) with zero shuffles.
+    ``floor(x + 0.5)`` is used instead of round() because its IEEE-double
+    semantics are engine-independent (Spark HALF_UP vs DuckDB
+    half-to-even would disagree on exact .5 products).
+
+    Returns struct(scale double, q array<int>); dequantize as q_i/scale.
+    Zero vectors get scale 0 and all-zero codes."""
+    from lens_spark.functions.hof import transform_u
+
+    dvec = transform_u(vec, lambda x: x.cast("double"))
+    mx = F.array_max(transform_u(dvec, F.abs))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q = transform_u(
+        dvec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))

@@ -1,0 +1,99 @@
+"""C4 cleaning, PII redaction, int8 quantization, sequence packing —
+crafted inputs with hand-computed expectations (the unit layer under the
+sf0.01 DuckDB oracle rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.functions.text import c4_clean, pii_redact
+from lens_spark.operators.pack import pack_sequences
+from lens_spark.operators.similarity import quantize_int8
+
+
+def _one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("r")).first()["r"]
+
+
+C4_DOC = "\n".join(
+    [
+        "This line survives the filter.",        # kept
+        "too short.",                             # < 3 words
+        "No terminal punctuation here",           # bad ending
+        "Enable javascript to view this page.",   # javascript
+        "  Trimmed line also survives!  ",        # kept (trimmed)
+        "",                                       # empty
+    ]
+)
+
+
+def test_c4_clean_line_rules(spark):
+    r = _one(spark, C4_DOC, c4_clean(F.col("text")))
+    assert r["clean_text"] == (
+        "This line survives the filter.\nTrimmed line also survives!"
+    )
+    assert r["n_kept"] == 2 and r["n_dropped"] == 4
+    assert r["has_lorem"] == 0 and r["has_brace"] == 0
+
+
+def test_c4_doc_flags(spark):
+    r = _one(
+        spark,
+        "Lorem Ipsum dolor sit amet.\nvar x = {a: 1};",
+        c4_clean(F.col("text")),
+    )
+    assert r["has_lorem"] == 1 and r["has_brace"] == 1
+
+
+def test_pii_redact_all_three(spark):
+    text = (
+        "Mail bob.smith+tag@sub.example.org, host 192.168.10.5, "
+        "call +1 (555) 123-4567 now"
+    )
+    r = _one(spark, text, pii_redact(F.col("text")))
+    assert r["redacted"] == (
+        "Mail <EMAIL>, host <IP>, call <PHONE> now"
+    )
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_order_emails_win_over_digits(spark):
+    # the email's digit run must not be phone-redacted
+    r = _one(spark, "reach 12345678@digits.example.com ok",
+             pii_redact(F.col("text")))
+    assert r["redacted"] == "reach <EMAIL> ok"
+    assert (r["n_email"], r["n_ip"], r["n_phone"]) == (1, 0, 0)
+
+
+def test_quantize_int8(spark):
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 0.5],), ([0.0, 0.0],)],
+        "vec array<double>",
+    )
+    rows = df.select(quantize_int8(F.col("vec")).alias("r")).collect()
+    r0, r1 = rows[0]["r"], rows[1]["r"]
+    assert r0["q"] == [64, -127, 32]          # floor(x*63.5 + 0.5)
+    assert abs(r0["scale"] - 63.5) < 1e-12
+    assert r1["scale"] == 0.0 and r1["q"] == [0, 0]
+
+
+def test_pack_sequences_next_fit(spark):
+    rows = [
+        # group g: 100+100 fit in 256, 100 more overflows → seq 1;
+        # then a 300-token giant gets its own seq 2
+        ("g", 1, 100), ("g", 2, 100), ("g", 3, 100), ("g", 4, 300),
+        # group h: zero-token doc then a giant stays in seq 0 (acc==0)
+        ("h", 1, 0), ("h", 2, 400),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, n int")
+    got = {
+        (r["group"], r["id"]): (r["seq_id"], r["seq_pos"])
+        for r in pack_sequences(df, "id", "src", "n", 256).collect()
+    }
+    assert got == {
+        ("g", 1): (0, 0), ("g", 2): (0, 1),
+        ("g", 3): (1, 0), ("g", 4): (2, 0),
+        ("h", 1): (0, 0), ("h", 2): (0, 1),
+    }
