@@ -111,18 +111,32 @@ def connected_components(
     spark = pairs.sparkSession
 
     def _pin(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable else df.localCheckpoint()
+        # lazy local checkpoint: the round's single signature action
+        # below materializes the truncated-lineage RDD, so each round is
+        # ONE job, not a checkpoint job plus an agg job. Reliable mode
+        # stays eager (Spark's reliable checkpoint() always is).
+        return df.checkpoint() if reliable else df.localCheckpoint(
+            eager=False
+        )
 
-    prev_sig = None
-    for _ in range(max_iter):
-        edges = _pin(_canon(_small_star(_large_star(edges))))
+    def _sig(df: DataFrame) -> tuple:
         # order-independent signature; xor-fold (not sum) because ANSI
         # mode makes a 64-bit sum of hashes an arithmetic-overflow error
-        row = edges.agg(
+        row = df.agg(
             F.count("*").alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).first()
-        sig = (row["n"], row["h"])
+        return (row["n"], row["h"])
+
+    # pin the input edge set BEFORE iterating: large-star's symmetric
+    # union would otherwise evaluate the (potentially expensive)
+    # upstream pair plan once per union side — Spark 4.1 never reuses
+    # exchanges across DeduplicateRelations'd self-union branches
+    edges = _pin(edges)
+    prev_sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _pin(_canon(_small_star(_large_star(edges))))
+        sig = _sig(edges)
         if sig == prev_sig:
             break
         prev_sig = sig
