@@ -695,6 +695,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("source", "doc_id")
         )
 
+    def q_word_counts(spark, sf):
+        # corpus term frequencies, top-100: the classic shuffle-heavy
+        # aggregation. explode→groupBy shuffles only (token, partial
+        # count) pairs (map-side combine), and orderBy+limit compiles to
+        # TakeOrderedAndProject — per-partition heaps, no full sort
+        from lens_spark.functions.text import ws_tokens
+
+        toks = _docs(spark, sf).select(
+            F.explode(ws_tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        return (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "tok")
+            .limit(100)
+        )
+
+    def q_hash_sample(spark, sf):
+        # deterministic stratified subsampling — the reproducible way to
+        # cut a web-scale corpus (hash of the stable id, not rand()):
+        # 50% of English docs, 20% of everything else. Pure filter, no
+        # shuffle, trivially pushable below any downstream op.
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10,
+            ).cast("long")
+            % 100
+        )
+        rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(
+            F.lit(20)
+        )
+        return (
+            _docs(spark, sf)
+            .filter(bucket < rate)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        )
+
+    def q_corpus_stats(spark, sf):
+        # per-language corpus audit: counts, char volume, exact p50/p90
+        # of document length (quantized per the repo's float-compare
+        # convention). Exact percentile buffers each group's values —
+        # fine for a bounded lang dimension; at 100 TB with high-card
+        # groups switch to approx_percentile (t-digest, mergeable).
+        return (
+            _docs(spark, sf)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("chars"),
+                F.floor(
+                    F.percentile(F.col("n_chars"), F.lit(0.5))
+                    * F.lit(10000.0)
+                ).cast("long").alias("p50_q"),
+                F.floor(
+                    F.percentile(F.col("n_chars"), F.lit(0.9))
+                    * F.lit(10000.0)
+                ).cast("long").alias("p90_q"),
+            )
+            .orderBy("lang")
+        )
+
     return {
         "mime_sniff": q_mime_sniff,
         "explode_reassemble": q_explode_reassemble,
@@ -716,6 +779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
+        "word_counts": q_word_counts,
+        "hash_sample": q_hash_sample,
+        "corpus_stats": q_corpus_stats,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1511,5 +1577,34 @@ def oracle_sql() -> dict[str, str]:
                (row_number() over (partition by source, seq
                                    order by doc_id) - 1)::int as seq_pos
         from pk order by source, doc_id
+    """
+    out["word_counts"] = r"""
+        with toks as (
+          select unnest(list_filter(
+                   string_split_regex(lower(text), '\s+'),
+                   t -> len(t) > 0)) as tok
+          from documents
+        )
+        select tok, count(*) as n from toks
+        group by tok order by n desc, tok limit 100
+    """
+    # same md5-prefix bucket arithmetic as the lineage_counts row
+    out["hash_sample"] = """
+        select doc_id, lang from documents
+        where (('0x' || substr(md5(doc_id::varchar), 1, 4))::int % 100)
+              < (case when lang = 'en' then 50 else 20 end)
+        order by doc_id
+    """
+    # quantile_cont == Spark's exact `percentile` (both linear
+    # interpolation at rank (n-1)·p); quantized floor(x·1e4) both sides
+    out["corpus_stats"] = """
+        select lang,
+               count(*) as n_docs,
+               sum(n_chars)::bigint as chars,
+               floor(quantile_cont(n_chars, 0.5) * 10000.0)::bigint
+                 as p50_q,
+               floor(quantile_cont(n_chars, 0.9) * 10000.0)::bigint
+                 as p90_q
+        from documents group by lang order by lang
     """
     return out
