@@ -1,0 +1,158 @@
+"""End-to-end training-data curation over a documents table.
+
+Chains the individually-verified operators into the standard pre-training
+data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
+
+    c4 line cleaning → gopher quality rules → pii redaction
+    → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
+    → language id + quality annotation [→ pack_sequences downstream]
+
+Design rule: **annotate, don't drop.** Every stage adds columns
+(``c4``, ``gopher_keep``, ``pii``, ``exact_keeper``, ``neardup_keep``)
+and the final ``kept`` flag conjoins them; ``curated`` is the filtered
+view. This keeps the whole chain ONE logical plan (Catalyst sees through
+it: single scan, the dedup shuffles are the only wide stages), makes
+every drop observable (``curation_report`` aggregates the flags in one
+extra pass instead of one action per stage), and lets a caller audit
+*why* any document died — the no-silent-drops convention, at pipeline
+granularity.
+
+Scale shape: c4/gopher/pii/lang/quality are map-only Catalyst; exact
+dedup shuffles once on the md5 digest; the near-dup leg is the bucketed
+join-free minhash + O(log²) star-contraction clustering, and its label
+side (pair-participating docs only) broadcasts back. Nothing here is
+O(n²) and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lens_spark.functions.text import (
+    c4_clean,
+    gopher_quality_flags,
+    lang_id,
+    pii_redact,
+    quality_score,
+)
+from lens_spark.operators.cluster import connected_components
+from lens_spark.operators.dedup import minhash_lsh_pairs
+
+
+@dataclass
+class CurateResult:
+    annotated: DataFrame  # every input doc + per-stage flags
+    curated: DataFrame    # kept docs with redacted text + annotations
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c4_min_words: int = 3,
+    minhash_hashes: int = 16,
+    minhash_bands: int = 4,
+) -> CurateResult:
+    base = docs.withColumn("c4", c4_clean(F.col(text_col), c4_min_words))
+    base = base.withColumn(
+        "c4_keep",
+        (
+            (F.col("c4.n_kept") > 0)
+            & (F.col("c4.has_lorem") == 0)
+            & (F.col("c4.has_brace") == 0)
+        ).cast("int"),
+    )
+    base = base.withColumn(
+        "gopher_keep",
+        gopher_quality_flags(F.col("c4.clean_text"))["keep"].cast("int"),
+    )
+    base = base.withColumn("pii", pii_redact(F.col("c4.clean_text")))
+
+    # exact dedup: rank within identical redacted-text digests; the
+    # smallest id is the keeper (same digest → same bytes, arbitrary but
+    # deterministic choice). One shuffle on the 16-byte digest.
+    digest = F.md5(F.col("pii.redacted"))
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    base = base.withColumn(
+        "exact_keeper", (F.row_number().over(w) == 1).cast("int")
+    )
+
+    # near-dup clustering over the redacted text of surviving docs only
+    # (pairs among already-dropped docs are wasted work)
+    survivors = base.filter(
+        (F.col("c4_keep") == 1)
+        & (F.col("gopher_keep") == 1)
+        & (F.col("exact_keeper") == 1)
+    )
+    pairs = minhash_lsh_pairs(
+        survivors.select(
+            F.col(id_col), F.col("pii.redacted").alias("__text")
+        ),
+        id_col,
+        "__text",
+        num_hashes=minhash_hashes,
+        bands=minhash_bands,
+        hash_fn="xxhash64",
+    )
+    labels = connected_components(pairs).withColumnRenamed(
+        "node", id_col
+    )
+    annotated = base.join(F.broadcast(labels), on=id_col, how="left")
+    annotated = annotated.withColumn(
+        "neardup_keep",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col(id_col))
+        ).cast("int"),
+    )
+    annotated = annotated.withColumn(
+        "kept",
+        (
+            (F.col("c4_keep") == 1)
+            & (F.col("gopher_keep") == 1)
+            & (F.col("exact_keeper") == 1)
+            & (F.col("neardup_keep") == 1)
+        ).cast("int"),
+    )
+    curated = (
+        annotated.filter(F.col("kept") == 1)
+        .withColumn("lang", lang_id(F.col("pii.redacted")))
+        .withColumn("quality", quality_score(F.col("pii.redacted")))
+        .select(
+            id_col,
+            F.col("pii.redacted").alias(text_col),
+            "lang",
+            "quality",
+            F.col("pii.n_email").alias("n_email"),
+            F.col("pii.n_ip").alias("n_ip"),
+            F.col("pii.n_phone").alias("n_phone"),
+        )
+    )
+    return CurateResult(annotated=annotated, curated=curated)
+
+
+def curation_report(annotated: DataFrame) -> dict:
+    """Stage-attrition accounting in ONE aggregation pass.
+
+    Flags are conjunctive in pipeline order, so each stage's "killed
+    here" count conditions on surviving all earlier stages."""
+    c4 = F.col("c4_keep") == 1
+    go = F.col("gopher_keep") == 1
+    ex = F.col("exact_keeper") == 1
+    row = annotated.agg(
+        F.count("*").alias("input_docs"),
+        F.sum((~c4).cast("long")).alias("dropped_c4"),
+        F.sum((c4 & ~go).cast("long")).alias("dropped_gopher"),
+        F.sum((c4 & go & ~ex).cast("long")).alias("dropped_exact_dup"),
+        F.sum(
+            (c4 & go & ex & (F.col("neardup_keep") == 0)).cast("long")
+        ).alias("dropped_near_dup"),
+        F.sum(F.col("kept").cast("long")).alias("kept_docs"),
+        F.sum(F.col("pii.n_email")).alias("emails_redacted"),
+        F.sum(F.col("pii.n_ip")).alias("ips_redacted"),
+        F.sum(F.col("pii.n_phone")).alias("phones_redacted"),
+    ).first()
+    return {k: (0 if row[k] is None else int(row[k]))
+            for k in row.asDict()}

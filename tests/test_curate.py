@@ -1,0 +1,92 @@
+"""End-to-end curate() pipeline: a crafted corpus where each document
+dies at exactly one known stage (or survives), asserted via the
+annotated flags, the curated output, and the one-pass report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lens_spark.curate import curate, curation_report
+
+# A Gopher-passing base line: 10 words incl. stop words, terminal
+# punctuation, mean word length in range. Repeated 6x = 60 words ≥ 50.
+_LINE = "the quick brown fox jumps over that lazy sleepy dog."
+_GOOD = "\n".join([_LINE] * 6)
+
+
+def _corpus(spark):
+    rows = [
+        # 1: survives everything
+        (1, _GOOD),
+        # 2: near-identical to 1 (one word differs) → minhash near-dup,
+        # loses to the smaller id
+        (2, _GOOD.replace("sleepy dog", "drowsy dog", 1)),
+        # 3: exact duplicate of 1 (post-redaction bytes equal) → exact
+        # dedup drops it before the near-dup leg ever sees it
+        (3, _GOOD),
+        # 4: C4 kills it (lorem ipsum flag)
+        (4, _GOOD + "\nlorem ipsum dolor sit amet."),
+        # 5: C4 line rules leave nothing (no terminal punctuation)
+        (5, "no punctuation here at all\nstill none"),
+        # 6: passes C4, fails Gopher (only 10 words < 50)
+        (6, _LINE),
+        # 7: survives, with PII to redact (distinct base text so the
+        # near-dup leg cannot cluster it with doc 1)
+        (7, "\n".join(
+            ["a big shiny table sits with the warm lamp tonight."] * 6
+        ).replace("warm lamp", "lamp bob@mail.example.org", 1)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    res = curate(_corpus(spark))
+    flags = {
+        r["doc_id"]: r
+        for r in res.annotated.select(
+            "doc_id", "c4_keep", "gopher_keep", "exact_keeper",
+            "neardup_keep", "kept",
+        ).collect()
+    }
+    curated = {r["doc_id"]: r for r in res.curated.collect()}
+    report = curation_report(res.annotated)
+    return flags, curated, report
+
+
+def test_stage_attribution(result):
+    flags, _, _ = result
+    assert flags[1]["kept"] == 1
+    assert flags[2]["neardup_keep"] == 0 and flags[2]["c4_keep"] == 1
+    assert flags[3]["exact_keeper"] == 0
+    assert flags[4]["c4_keep"] == 0
+    assert flags[5]["c4_keep"] == 0
+    assert flags[6]["c4_keep"] == 1 and flags[6]["gopher_keep"] == 0
+    assert flags[7]["kept"] == 1
+
+
+def test_curated_output(result):
+    _, curated, _ = result
+    assert set(curated) == {1, 7}
+    assert curated[7]["n_email"] == 1
+    assert "<EMAIL>" in curated[7]["text"]
+    assert curated[1]["lang"] == "en"
+    assert 0.0 <= curated[1]["quality"] <= 1.0
+
+
+def test_report_accounting(result):
+    _, _, rep = result
+    assert rep["input_docs"] == 7
+    assert rep["dropped_c4"] == 2          # docs 4, 5
+    assert rep["dropped_gopher"] == 1      # doc 6
+    assert rep["dropped_exact_dup"] == 1   # doc 3
+    assert rep["dropped_near_dup"] == 1    # doc 2
+    assert rep["kept_docs"] == 2           # docs 1, 7
+    assert rep["emails_redacted"] == 1
+    # stage counts partition the input exactly
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
+        + rep["kept_docs"]
+    ) == rep["input_docs"]
