@@ -832,9 +832,12 @@ def oracle_sql() -> dict[str, str]:
     norm = ("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")
     ws_toks = f"list_filter(string_split({norm}, ' '), t -> len(t) > 0)"
     # Unicode separator class — mirrors search.analyze (RE2 \p ≡ Java \p
-    # on L/N; three-way parity pinned by tests/test_search.py)
+    # on L/N; three-way parity pinned by tests/test_search.py). Final
+    # sigma is folded like the engine does (analyzer v3): DuckDB lower()
+    # is the simple mapping, so only literal 'ς' in the input needs it.
     analyze_toks = (
-        r"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), "
+        r"list_filter(string_split_regex("
+        r"replace(lower(text), 'ς', 'σ'), '[^\p{L}\p{N}]+'), "
         "t -> len(t) > 0)"
     )
 

@@ -80,7 +80,7 @@ STOP_WORDS_EN = frozenset(
 # would mismatch Unicode query tokens ('café' tokenized as 'caf') with
 # no error (ADVICE r3). Bump this whenever ``analyze`` changes
 # behavior; existing tables then re-analyze until reindexed.
-ANALYZER_VERSION = 2
+ANALYZER_VERSION = 3  # v3: Greek final-sigma folding (see analyze())
 
 
 class EmptyQueryError(Exception):
@@ -140,12 +140,25 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
     \\p{Pc} as word chars — NFC-normalized text (the overwhelming real
     case) never exposes it.
 
+    Greek final sigma is FOLDED (ς → σ) after lowercasing: JVM and
+    Python lowercase apply SpecialCasing's contextual rule (ΣΟΦΟΣ →
+    σοφος) while DuckDB and Go's strings.ToLower — the reference's own
+    analyzer substrate — use the simple per-rune mapping (σοφοσ), the
+    one conditional mapping that differs across the four engines
+    (measured). Folding converges every form to σ, exactly what
+    Lucene's GreekLowerCaseFilter does, and makes the token stream
+    byte-identical in all engines. Pinned by
+    tests/test_search.py::test_analyzer_sigma_folding and fuzzed by
+    tests/test_property.py.
+
     ``remove_stop_words=True`` additionally drops bleve/Lucene's standard
     English stop set (bleve's ``en`` analyzer token filter) — see
     ``STOP_WORDS_EN``; the default analyzer used for match/no-match parity
     keeps them (scores differ from bleve either way, documented)."""
     toks = filter_u(
-        F.split(F.lower(col), r"[^\p{L}\p{N}]+"),
+        F.split(
+            F.translate(F.lower(col), "ς", "σ"), r"[^\p{L}\p{N}]+"
+        ),
         lambda t: F.length(t) > 0,
     )
     if remove_stop_words:
@@ -160,7 +173,11 @@ def _analyze_py(text: str, remove_stop_words: bool = False) -> list[str]:
     JVM's ``[^\\p{L}\\p{N}]`` (see ``analyze``)."""
     import re as _re
 
-    toks = [t for t in _re.split(r"[\W_]+", text.lower()) if t]
+    toks = [
+        t
+        for t in _re.split(r"[\W_]+", text.lower().replace("ς", "σ"))
+        if t
+    ]
     if remove_stop_words:
         toks = [t for t in toks if t not in STOP_WORDS_EN]
     return toks

@@ -106,6 +106,49 @@ _corpus = st.lists(_doc(), min_size=1, max_size=12).map(
 )
 
 
+# Analyzer-parity fuzz domain: codepoints below U+0870 (Latin, Greek,
+# Cyrillic, Hebrew, core Arabic) minus surrogates, marks, and format
+# chars. Rationale: Java 17 carries Unicode 13 and Python 3.11 Unicode
+# 14, so codepoints (re)classified between those versions — first batch
+# at U+0870 — would make \p{L} itself disagree; and combining marks /
+# ZWJ are the documented residual divergence (analyze() docstring). The
+# contextual final-sigma mapping IS in range — the fold keeps it equal.
+_analyzer_text = st.text(
+    alphabet=st.characters(
+        max_codepoint=0x086F,
+        blacklist_categories=("Cs", "Mn", "Mc", "Me", "Cf"),
+    ),
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_analyzer_text, min_size=1, max_size=60))
+def test_analyzer_jvm_matches_python(spark, texts):
+    """Content-side (JVM Catalyst) and query-side (Python re) analyzers
+    must tokenize identically — any asymmetry silently breaks matching.
+    One Spark job per example (per-string jobs would pay JVM latency)."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.search import _analyze_py, analyze
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, t string"
+    )
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select(
+            "id", analyze(F.col("t")).alias("toks")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _analyze_py(t), repr(t)
+
+
 @settings(
     max_examples=4,
     deadline=None,

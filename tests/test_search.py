@@ -191,6 +191,28 @@ def test_analyzer_unicode_parity(spark):
     assert jvm[0] == ["café", "über", "strasse", "北京", "a", "b", "i18n"]
 
 
+def test_analyzer_sigma_folding(spark):
+    """Greek capital sigma: JVM/Python lowercase contextually (word-final
+    Σ → ς) while DuckDB/Go use the simple mapping (σ) — the analyzer
+    folds every form to σ (analyzer v3, Lucene GreekLowerCaseFilter
+    semantics) so all engines emit identical tokens."""
+    import duckdb
+
+    from lens_spark.operators.search import _analyze_py, analyze
+
+    samples = ["ΑΣ ΣΟΦΟΣ", "ήδη σοφός ΉΔΗ", "τις ΤΙΣ τίς"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "text string")
+    jvm = [r[0] for r in
+           sdf.select(analyze(F.col("text")).alias("t")).collect()]
+    py = [_analyze_py(s) for s in samples]
+    ddb = [duckdb.sql(
+        "select list_filter(string_split_regex(replace(lower(" + repr(s)
+        + r"), 'ς', 'σ'), '[^\p{L}\p{N}]+'), t -> len(t) > 0)"
+    ).fetchone()[0] for s in samples]
+    assert jvm == py == ddb
+    assert jvm[0] == ["ασ", "σοφοσ"]  # folded, no final-sigma form
+
+
 def test_driver_phrase_query_survives_empty_docs(spark, tmp_path):
     """ADVICE r1: under ANSI mode (Spark 4 default) element_at on an
     out-of-range index kills the job; a 0- or 1-token document must not
