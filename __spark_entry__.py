@@ -758,6 +758,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang")
         )
 
+    def q_decontaminate(spark, sf):
+        # every 50th doc plays the evaluation set; 5-gram overlap flags
+        # (operator default is 8 — the corpus vocabulary is tiny, so 5
+        # keeps chance collisions possible and both engines must agree
+        # on every one)
+        from lens_spark.operators.decontam import contamination_flags
+
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 50 == 0)
+        return contamination_flags(
+            d, bench, "doc_id", "text", n=5
+        ).orderBy("doc_id")
+
     return {
         "mime_sniff": q_mime_sniff,
         "explode_reassemble": q_explode_reassemble,
@@ -782,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
+        "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1580,6 +1594,33 @@ def oracle_sql() -> dict[str, str]:
                (row_number() over (partition by source, seq
                                    order by doc_id) - 1)::int as seq_pos
         from pk order by source, doc_id
+    """
+    # 5-gram shingles (word_shingles k=5 over the same normalized
+    # tokens), benchmark = doc_id % 50, distinct-gram overlap counts
+    out["decontaminate"] = f"""
+        with tk as (
+          select doc_id, {ws_toks} as tk from documents
+        ), g as (
+          select doc_id,
+            case when len(tk) >= 5 then
+              list_distinct([array_to_string(tk[i:i+4], ' ')
+                             for i in range(1,
+                               greatest(len(tk) - 4, 1) + 1)])
+            else [array_to_string(tk, ' ')] end as grams
+          from tk
+        ), ex as (
+          select doc_id, unnest(grams) as gram from g
+        ), bench as (
+          select distinct gram from ex where doc_id % 50 = 0
+        ), hits as (
+          select e.doc_id, count(*)::bigint as n_hits
+          from ex e join bench using (gram) group by e.doc_id
+        )
+        select d.doc_id,
+               coalesce(h.n_hits, 0)::bigint as n_hits,
+               (coalesce(h.n_hits, 0) > 0)::int as contaminated
+        from documents d left join hits h using (doc_id)
+        order by d.doc_id
     """
     out["word_counts"] = r"""
         with toks as (

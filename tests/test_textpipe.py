@@ -97,3 +97,38 @@ def test_pack_sequences_next_fit(spark):
         ("g", 3): (1, 0), ("g", 4): (2, 0),
         ("h", 1): (0, 0), ("h", 2): (0, 1),
     }
+
+
+def test_contamination_flags(spark):
+    from lens_spark.operators.decontam import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly"),
+         (101, "tiny eval")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim benchmark sentence inside a longer doc → hits
+            (1, "padding words here the secret benchmark answer is "
+                "forty two exactly and trailing context"),
+            # unrelated → clean
+            (2, "completely different content about weather patterns "
+                "in the north atlantic region today"),
+            # short doc copying the short benchmark doc verbatim →
+            # whole-text gram convention still catches it
+            (3, "tiny eval"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(
+            corpus, bench, "doc_id", "text", n=8
+        ).collect()
+    }
+    assert got[1][1] == 1 and got[1][0] >= 1
+    assert got[2] == (0, 0)
+    # both sides apply the whole-text convention below n words, so the
+    # verbatim copy of the 2-word benchmark doc is caught
+    assert got[3] == (1, 1)
