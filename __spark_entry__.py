@@ -758,6 +758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang")
         )
 
+    def q_events_sessions(spark, sf):
+        # gap-based sessionization (session_window) — the oracle derives
+        # identical sessions via gaps-and-islands (new island exactly
+        # when ts > prev + gap: the boundary event MERGES, pinned by
+        # tests/test_streaming.py::test_sessionized_events_gap_semantics)
+        from lens_spark.streaming.stream import sessionized_events
+
+        return sessionized_events(_events(spark, sf), gap="30 minutes")\
+            .orderBy("user_id", "session_start")
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
+        "events_sessions": q_events_sessions,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1594,6 +1605,34 @@ def oracle_sql() -> dict[str, str]:
                (row_number() over (partition by source, seq
                                    order by doc_id) - 1)::int as seq_pos
         from pk order by source, doc_id
+    """
+    out["events_sessions"] = """
+        with o as (
+          select user_id, event_id, ts, value,
+                 lag(ts) over (partition by user_id order by ts, event_id)
+                   as prev
+          from events
+        ), marked as (
+          select *,
+                 (case when prev is null
+                         or ts > prev + interval 30 minute
+                       then 1 else 0 end) as new_s
+          from o
+        ), sess as (
+          select *,
+                 sum(new_s) over (partition by user_id
+                                  order by ts, event_id
+                                  rows unbounded preceding) as sid
+          from marked
+        )
+        select min(ts) as session_start,
+               max(ts) + interval 30 minute as session_end,
+               user_id,
+               count(*) as n_events,
+               round(sum(value), 4) as value_sum
+        from sess
+        group by user_id, sid
+        order by user_id, session_start
     """
     # 5-gram shingles (word_shingles k=5 over the same normalized
     # tokens), benchmark = doc_id % 50, distinct-gram overlap counts

@@ -166,3 +166,41 @@ def windowed_event_counts(
             "value_sum",
         )
     )
+
+
+def sessionized_events(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Per-user session windows: events merge into one session while each
+    arrives within ``gap`` of the session's current end — INCLUSIVE: an
+    event landing exactly on prev_ts + gap still merges (measured,
+    pinned by the gap-semantics test); the session ends at
+    last_event + gap. Identical to the SQL gaps-and-islands formulation
+    with "new island when ts > prev_ts + gap".
+
+    Batch and streaming share the expression (watermark only when
+    streaming — required there because session windows are unbounded
+    state otherwise; the watermark closes sessions whose end falls
+    behind it). State is per live session per user — O(active users),
+    the same RocksDB-backed story as the first-seen dedup operator."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )

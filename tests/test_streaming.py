@@ -142,3 +142,46 @@ def test_first_seen_filter_stateful_dedup(spark, tmp_path):
     # (glob order is lexicographic: f1 before f2 -> a-first-batch-o1)
     assert rows["a"]["payload"] == "a-first-batch-o1"
     assert rows["a"]["ord"] == 1
+
+
+def test_sessionized_events_gap_semantics(spark):
+    """Session boundaries: an event exactly at prev_end (= prev_ts +
+    gap) still MERGES (session_window's gap comparison is inclusive —
+    measured here, mirrored by the oracle's strict ts > prev + gap
+    island condition); later events keep extending the end."""
+    from datetime import datetime
+
+    from lens_spark.streaming.stream import sessionized_events
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minutes):
+        return datetime(2024, 1, 1, 10, 0, 0).replace(
+            hour=10 + (minutes // 60), minute=minutes % 60
+        )
+
+    rows = [
+        # user 1: 10:00, 10:29 merge (29 < 30); 10:59 == 10:29 + 30min
+        # lands exactly on the session end and still merges
+        (1, 1, t0, 1.0),
+        (2, 1, at(29), 1.0),
+        (3, 1, at(59), 1.0),
+        # 11:30 is strictly past 10:59 + 30min = 11:29 → new session
+        (4, 1, at(90), 1.0),
+        # user 2: single event
+        (5, 2, at(5), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = [
+        (r["user_id"], r["session_start"].minute,
+         r["session_end"].minute, r["n_events"])
+        for r in sessionized_events(df, gap="30 minutes")
+        .orderBy("user_id", "session_start").collect()
+    ]
+    assert got == [
+        (1, 0, 29, 3),   # 10:00-11:29: boundary event merged
+        (1, 30, 0, 1),   # 11:30-12:00
+        (2, 5, 35, 1),
+    ]
