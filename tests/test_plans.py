@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from lens_spark.plans.inspect import (
     assert_max_exchanges, assert_pruned_schema, assert_pushed_filter,
-    plan_stats,
+    executed_plan, plan_stats,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -165,3 +165,67 @@ def test_minhash_map_side_parallelism(spark):
     assert widened.rdd.getNumPartitions() == target
     # already-wide inputs pass through untouched (no coalesce at scale)
     assert ensure_parallelism(widened).rdd.getNumPartitions() == target
+
+
+def test_map_only_text_ops_have_no_shuffle(docs):
+    # c4 cleaning, pii redaction, quantization: pure map-side Catalyst —
+    # zero exchanges, zero python stages (the 100 TB contract: these
+    # cost one scan, full stop)
+    from lens_spark.functions.text import c4_clean, pii_redact
+
+    q = docs.select(
+        "doc_id",
+        c4_clean(F.col("text")).alias("c4"),
+        pii_redact(F.col("text")).alias("pii"),
+    )
+    s = plan_stats(q)
+    assert s.exchanges == 0 and s.python_stages == 0
+
+    emb = docs.sparkSession.read.parquet(f"{SF}/embeddings.parquet")
+    from lens_spark.operators.similarity import quantize_int8
+
+    s2 = plan_stats(emb.select(quantize_int8(F.col("embedding"))))
+    assert s2.exchanges == 0 and s2.python_stages == 0
+
+
+def test_decontaminate_is_broadcast_only(docs):
+    # the corpus side of decontamination must never sort-merge: the
+    # benchmark gram set broadcasts, hits aggregate, hits broadcast back
+    from lens_spark.operators.decontam import contamination_flags
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    q = contamination_flags(docs, bench, "doc_id", "text", n=5)
+    plan = executed_plan(q)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_pack_sequences_single_group_shuffle(docs):
+    from lens_spark.operators.pack import pack_sequences
+
+    d = docs.select(
+        "doc_id", "source", F.length("text").alias("n_tok")
+    )
+    q = pack_sequences(d, "doc_id", "source", "n_tok", 256)
+    s = plan_stats(q)
+    # one exchange (the group key), one Arrow stage (the packer)
+    assert s.exchanges == 1
+    assert s.python_stages == 1
+
+
+def test_cluster_round_is_two_shuffles(spark):
+    # one alternating round = large-star groupBy + small-star groupBy;
+    # anything more would multiply per-round cost at corpus scale
+    from lens_spark.operators.cluster import (
+        _canon, _large_star, _small_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "u long, v long"
+    )
+    round_df = _canon(_small_star(_large_star(edges)))
+    s = plan_stats(round_df)
+    assert s.python_stages == 0
+    # large-star agg + small-star agg + canon distinct = 3 exchanges max
+    # (AQE may plan fewer at runtime); the guard is the upper bound
+    assert s.exchanges <= 3
