@@ -49,6 +49,12 @@ def main() -> None:
         if probe["ceiling"] < thresh:
             time.sleep(sleep_s)
             continue
+        # score only lines the run actually appends — a crashed run must
+        # not re-count the previous pair's record as a fresh success
+        lines_before = (
+            sum(1 for _ in open(HISTORY))
+            if os.path.exists(HISTORY) else 0
+        )
         open(PAIR_FLAG, "w").write(str(time.time()))
         try:
             env = dict(os.environ, BENCH_PAIRS="1",
@@ -62,9 +68,12 @@ def main() -> None:
             if os.path.exists(PAIR_FLAG):
                 os.remove(PAIR_FLAG)
         try:
-            last = json.loads(
-                open(HISTORY).read().strip().rsplit("\n", 1)[-1]
-            )
+            lines = open(HISTORY).read().strip().split("\n")
+            if len(lines) <= lines_before:
+                print("[hunt] run appended no pair (crashed?)",
+                      flush=True)
+                continue
+            last = json.loads(lines[-1])
             eff = last.get("eff", 0.0)
             print(f"[hunt] pair {last.get('pair')} eff={eff} "
                   f"ceiling={last.get('host_ceiling')}", flush=True)

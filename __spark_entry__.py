@@ -343,15 +343,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .parquet(src)
         )
         qname = "first_seen_" + uuid.uuid4().hex[:8]
-        (
+        stream_query = (
             first_seen_filter(stream, "key", "ord", schema)
             .writeStream.format("memory").queryName(qname)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
             .outputMode("append")
             .trigger(availableNow=True)
             .start()
-            .awaitTermination(180)
         )
+        finished = stream_query.awaitTermination(180)
+        if not finished:
+            # reading the memory sink mid-stream would hand the gate a
+            # nondeterministic partial table — fail loudly instead
+            stream_query.stop()
+            raise TimeoutError(
+                "first_seen stream did not finish within 180s"
+            )
+        shutil.rmtree(base, ignore_errors=True)
         return spark.table(qname).orderBy("key")
 
     def q_emb_neardup(spark, sf):

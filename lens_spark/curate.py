@@ -70,11 +70,16 @@ def curate(
     )
     base = base.withColumn("pii", pii_redact(F.col("c4.clean_text")))
 
-    # exact dedup: rank within identical redacted-text digests; the
-    # smallest id is the keeper (same digest → same bytes, arbitrary but
-    # deterministic choice). One shuffle on the 16-byte digest.
+    # exact dedup: rank within identical redacted-text digests. Docs
+    # surviving the earlier stages outrank dropped ones (then smallest
+    # id) — otherwise a c4/gopher-dropped copy could win the keeper
+    # slot and its surviving twin would die as "exact dup", losing the
+    # content entirely. One shuffle on the 16-byte digest.
     digest = F.md5(F.col("pii.redacted"))
-    w = Window.partitionBy(digest).orderBy(F.col(id_col))
+    early_surv = (F.col("c4_keep") == 1) & (F.col("gopher_keep") == 1)
+    w = Window.partitionBy(digest).orderBy(
+        F.when(early_surv, 0).otherwise(1), F.col(id_col)
+    )
     base = base.withColumn(
         "exact_keeper", (F.row_number().over(w) == 1).cast("int")
     )
@@ -150,9 +155,15 @@ def curation_report(annotated: DataFrame) -> dict:
             (c4 & go & ex & (F.col("neardup_keep") == 0)).cast("long")
         ).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),
-        F.sum(F.col("pii.n_email")).alias("emails_redacted"),
-        F.sum(F.col("pii.n_ip")).alias("ips_redacted"),
-        F.sum(F.col("pii.n_phone")).alias("phones_redacted"),
+        # redaction volumes count what actually reached the curated
+        # output — sums over dropped docs would overstate the scrub
+        F.sum(F.col("pii.n_email") * F.col("kept")).alias(
+            "emails_redacted"
+        ),
+        F.sum(F.col("pii.n_ip") * F.col("kept")).alias("ips_redacted"),
+        F.sum(F.col("pii.n_phone") * F.col("kept")).alias(
+            "phones_redacted"
+        ),
     ).first()
     return {k: (0 if row[k] is None else int(row[k]))
             for k in row.asDict()}

@@ -128,7 +128,18 @@ def cap_metrics(observation) -> dict | None:
     observed DataFrame — ``Observation.get`` blocks until then."""
     try:
         return dict(observation.get)
-    except Exception:
+    except Exception as ex:
+        # Only the documented AQE elimination legitimately lands here;
+        # surface the actual error so a real Observation failure (wrong
+        # object, py4j error) can't silently disable the metering
+        import warnings
+
+        warnings.warn(
+            f"cap metrics unavailable ({ex!r}) — treated as the AQE "
+            "empty-relation elimination; if the operator returned rows, "
+            "this is a real metering failure",
+            stacklevel=2,
+        )
         return None
 
 

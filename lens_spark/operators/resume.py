@@ -39,7 +39,12 @@ def filter_pending(
     persistent poison-doc population (corrupt PDFs) becomes a fixed
     per-increment tax. A quarantined doc that also has good spans IS in
     ``done``, so the plain distinct-doc_id anti-join here is exactly
-    "quarantined with no good spans" after the ``done`` join.
+    "quarantined with no good spans" after the ``done`` join — but ONLY
+    when ``done`` and ``quarantined`` come from the same table
+    generation. When ``done`` is None (fresh or rebuilt output table)
+    the quarantine guard is skipped: a surviving quarantine table must
+    not suppress partially-failed docs whose good spans now need
+    re-extraction.
     ``reindex=True`` bypasses both guards (engine.go:124-126) — it is
     the retry override for poisoned docs."""
     if reindex:
@@ -47,10 +52,12 @@ def filter_pending(
     out = docs
     if done is not None:
         out = out.join(done.select("doc_id"), "doc_id", "left_anti")
-    if quarantined is not None:
-        out = out.join(
-            quarantined.select("doc_id").distinct(), "doc_id", "left_anti"
-        )
+        if quarantined is not None:
+            out = out.join(
+                quarantined.select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
     return out
 
 

@@ -221,15 +221,22 @@ def prepare_search_index(extracted: DataFrame,
 
 def _stored_analyzer_version(df: DataFrame):
     """Version stamp of a stored tokens table: the stamped value, or
-    None when the table is EMPTY (nothing can mismatch). A tokens table
-    WITHOUT the stamp column returns -1 (unknown provenance — written
-    by a pre-stamp engine, possibly with the v1 ASCII analyzer):
-    treated as a mismatch, because trusting it silently is exactly the
-    bug the stamp exists to prevent."""
+    None when the table is EMPTY (nothing can mismatch). Returns -1
+    (→ mismatch, re-analyze) for every unknown-provenance shape:
+    missing stamp column, NULL stamp values (schema-evolved/backfilled
+    rows), or MIXED stamps (increments written by different engine
+    versions) — trusting any of them silently is exactly the bug the
+    stamp exists to prevent. The distinct-probe is a single pruned
+    column scan, negligible next to the full-table match scan that
+    follows it."""
     if "analyzer_version" not in df.columns:
         return -1
-    row = df.select("analyzer_version").first()
-    return None if row is None else row[0]
+    rows = df.select("analyzer_version").distinct().limit(2).collect()
+    if not rows:
+        return None
+    if len(rows) > 1 or rows[0][0] is None:
+        return -1
+    return rows[0][0]
 
 
 def _phrase_clause(tokens_col: Column, phrase: str,

@@ -90,3 +90,27 @@ def test_report_accounting(result):
         + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
         + rep["kept_docs"]
     ) == rep["input_docs"]
+
+
+def test_exact_keeper_prefers_surviving_copy(spark):
+    """A c4-dropped doc with the SMALLER id must not win the exact-dedup
+    keeper slot from its surviving twin — the survivor keeps, otherwise
+    the content would vanish entirely (dropped copy dies at c4, kept
+    copy dies as 'exact dup')."""
+    rows = [
+        # doc 1: _GOOD plus a brace line → identical clean/redacted text
+        # to doc 2, but has_brace kills it at the c4 stage
+        (1, _GOOD + "\nconfig = { }"),
+        (2, _GOOD),
+    ]
+    res = curate(spark.createDataFrame(rows, "doc_id long, text string"))
+    flags = {
+        r["doc_id"]: r
+        for r in res.annotated.select(
+            "doc_id", "c4_keep", "exact_keeper", "kept"
+        ).collect()
+    }
+    assert flags[1]["c4_keep"] == 0
+    assert flags[2]["exact_keeper"] == 1 and flags[2]["kept"] == 1
+    rep = curation_report(res.annotated)
+    assert rep["kept_docs"] == 1 and rep["dropped_exact_dup"] == 0
