@@ -324,6 +324,16 @@ whole bench process):
 
 {storm_md}
 
+Round-4 eventlog stage probe (2026-08-17 ~09:00 UTC, same x16 corpus,
+uncompressed Spark event logs, taskset-pinned 8 vs 32): in a degraded
+window (wall eff 0.40) the slowdown is UNIFORM across stage types, not
+concentrated in any operator — the big Arrow/mapInPandas extract stage
+scales 1.8x, pure-JVM shuffle/agg stages 1.0-1.4x, and two small JVM
+stages invert (0.74→3.08 s, 1.44→6.45 s at 32 cores). A plan
+bottleneck would localize in one stage; identical degradation of
+JVM-only and Python stages is a per-cycle host budget being split
+across more claimed cores.
+
 Prior archived evidence with the same job: the round-1 measurement
 (git 1eb64cd, BENCH/BASELINE.md of 2026-08-16 morning) recorded
 **extract efficiency 0.972** (1447.7 → 5629.1 docs/s) in a calm host
