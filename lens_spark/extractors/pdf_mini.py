@@ -74,8 +74,22 @@ def _unescape(raw: bytes) -> bytes:
     return bytes(out)
 
 
+# hot-path patterns precompiled once: building `rb"/" + key + ...` per
+# call costs a re-cache dict probe per PDF object (profiled)
+_REF_RES = {
+    key: re.compile(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R")
+    for key in (b"Pages", b"Contents")
+}
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_KID_ID_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_XOBJ_RE = re.compile(rb"/XObject\s*<<\s*/\w+\s+(\d+)\s+\d+\s+R")
+
+
 def _ref(body: bytes, key: bytes) -> int | None:
-    m = re.search(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R", body)
+    pat = _REF_RES.get(key)
+    if pat is None:
+        pat = re.compile(rb"/" + key + rb"\s+(\d+)\s+\d+\s+R")
+    m = pat.search(body)
     return int(m.group(1)) if m else None
 
 
@@ -97,10 +111,10 @@ def parse_pdf_mini(content: bytes) -> list[PdfPage]:
     if pages_obj is None:
         raise PdfError("failed to analyze PDF")  # ocr.go:59
 
-    kids_m = re.search(rb"/Kids\s*\[(.*?)\]", pages_obj, re.S)
+    kids_m = _KIDS_RE.search(pages_obj)
     if not kids_m:
         raise PdfError("failed to analyze PDF")  # ocr.go:59
-    kid_ids = [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", kids_m.group(1))]
+    kid_ids = [int(g) for g in _KID_ID_RE.findall(kids_m.group(1))]
 
     pages: list[PdfPage] = []
     for kid in kid_ids:
@@ -114,7 +128,7 @@ def parse_pdf_mini(content: bytes) -> list[PdfPage]:
             if sm:
                 page.text = _extract_text_runs(sm.group(1))
         # page image XObject (the scanned-page payload for OCR fallback)
-        xm = re.search(rb"/XObject\s*<<\s*/\w+\s+(\d+)\s+\d+\s+R", body)
+        xm = _XOBJ_RE.search(body)
         if xm and int(xm.group(1)) in objs:
             im = _STREAM_RE.search(objs[int(xm.group(1))])
             if im:
@@ -131,9 +145,13 @@ def _extract_text_runs(stream: bytes) -> str:
     this is exact for our goldens.
     """
     runs: list[str] = []
+    append = runs.append
     for m in _TJ_RE.finditer(stream):
-        for sm in _STR_RE.finditer(m.group(0)):
-            runs.append(_unescape(sm.group(0)[1:-1]).decode("latin-1"))
+        # findall (no groups → whole-match strings) skips ~20 Match
+        # objects per page vs finditer — this loop is the parser's
+        # hottest line (profiled on the bench corpus)
+        for s in _STR_RE.findall(m.group(0)):
+            append(_unescape(s[1:-1]).decode("latin-1"))
     return "\n".join(runs)
 
 
