@@ -56,26 +56,33 @@ def host_parallel_efficiency(seconds: float = 1.5) -> dict:
     Spark work burning 240 vs 390 user-cpu-s between hours with steal
     near zero; a probe reading of eff32=0.652 coincided with extract
     capping at 0.61) — recording them per pair makes the scaling
-    evidence auditable instead of weather-dependent."""
+    evidence auditable instead of weather-dependent.
+
+    Two kernels since round 4: the original crc32-over-1-MiB spinner is
+    L2-resident — it measures deliverable CYCLES and systematically
+    overestimates the ceiling for memory-streaming work (Spark shuffles
+    GBs; pairs persistently track 0.6-0.7 of the cycle ceiling). The
+    second kernel streams crc32 over 64 MiB (DRAM-resident), so its
+    ceiling also prices co-tenant MEMORY-BANDWIDTH contention — the
+    honest bound for this workload class, reported as ceiling_mem."""
     import multiprocessing as mp
     import time
     import zlib
 
-    buf = b"x" * (1 << 20)
-
-    def spin(cpu: int, out, idx: int) -> None:
+    def spin(cpu: int, out, idx: int, mib: int) -> None:
         os.sched_setaffinity(0, {cpu})
+        buf = b"x" * (mib << 20)
         end = time.monotonic() + seconds
         n = 0
         while time.monotonic() < end:
             zlib.crc32(buf)
             n += 1
-        out[idx] = n
+        out[idx] = n * mib  # MiB processed, comparable across kernels
 
-    def run(cpus: list[int]) -> float:
+    def run(cpus: list[int], mib: int) -> float:
         with mp.Manager() as m:
             out = m.dict()
-            procs = [mp.Process(target=spin, args=(c, out, c))
+            procs = [mp.Process(target=spin, args=(c, out, c, mib))
                      for c in cpus]
             for p in procs:
                 p.start()
@@ -83,16 +90,17 @@ def host_parallel_efficiency(seconds: float = 1.5) -> dict:
                 p.join()
             return sum(out[c] for c in cpus)
 
-    single = run([0])
-    agg8 = run(list(range(8)))
-    agg32 = run(list(range(32)))
-    eff8 = (agg8 / max(single, 1)) / 8
-    eff32 = (agg32 / max(single, 1)) / 32
-    return {
-        "eff8": round(eff8, 3),
-        "eff32": round(eff32, 3),
-        "ceiling": round(eff32 / max(eff8, 1e-9), 3),
-    }
+    res = {}
+    for tag, mib in (("", 1), ("_mem", 64)):
+        single = run([0], mib)
+        agg8 = run(list(range(8)), mib)
+        agg32 = run(list(range(32)), mib)
+        eff8 = (agg8 / max(single, 1)) / 8
+        eff32 = (agg32 / max(single, 1)) / 32
+        res[f"eff8{tag}"] = round(eff8, 3)
+        res[f"eff32{tag}"] = round(eff32, 3)
+        res[f"ceiling{tag}"] = round(eff32 / max(eff8, 1e-9), 3)
+    return res
 
 
 def read_pressure() -> dict:
