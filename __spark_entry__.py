@@ -789,6 +789,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, bench, "doc_id", "text", n=5
         ).orderBy("doc_id")
 
+    def q_duplicate_spans(spark, sf):
+        # exact substring-level dedup (Lee et al. 2022 ExactSubstr):
+        # merged token spans covered by a 15-token window occurring ≥2
+        # times corpus-wide (sf0.01: 857 duplicated windows → spans)
+        from lens_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(
+            _docs(spark, sf), "doc_id", "text", k=15
+        ).orderBy("doc_id", "span_start")
+
     return {
         "mime_sniff": q_mime_sniff,
         "explode_reassemble": q_explode_reassemble,
@@ -806,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
+        "duplicate_spans": q_duplicate_spans,
         "c4_clean": q_c4_clean,
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
@@ -1697,5 +1708,47 @@ def oracle_sql() -> dict[str, str]:
                floor(quantile_cont(n_chars, 0.9) * 10000.0)::bigint
                  as p90_q
         from documents group by lang order by lang
+    """
+    # exact substring spans: k-token sliding windows, corpus-global
+    # occurrence count ON THE WINDOW TEXT (the Spark side shuffles
+    # xxhash64 of the same joined text — engine-internal, so no hash
+    # parity needed), then per-doc gaps-and-islands merge at gap > k
+    out["duplicate_spans"] = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        w as (
+          select doc_id, i as pos,
+                 array_to_string(toks[i:i+14], ' ') as win
+          from t, unnest(generate_series(1, len(toks) - 14)) as u(i)
+          where len(toks) >= 15
+        ),
+        occ as (
+          select doc_id, pos from w
+          where win in (select win from w
+                        group by win having count(*) >= 2)
+        ),
+        brk as (
+          select doc_id, pos,
+                 case when pos - lag(pos) over
+                        (partition by doc_id order by pos) <= 15
+                      then 0 else 1 end as newgrp
+          from occ
+        ),
+        grp as (
+          select doc_id, pos,
+                 sum(newgrp) over
+                   (partition by doc_id order by pos) as g
+          from brk
+        )
+        select doc_id,
+               min(pos) as span_start,
+               max(pos) + 15 as span_end,
+               count(*) as n_windows
+        from grp group by doc_id, g
+        order by doc_id, span_start
     """
     return out

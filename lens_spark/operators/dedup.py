@@ -579,3 +579,129 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ------------------------------------------------ exact substring spans
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    max_count: int = 100_000,
+    observation=None,
+) -> DataFrame:
+    """Exact substring-level dedup: for every document, the merged token
+    spans covered by some k-token window that occurs ≥ ``min_count``
+    times across the corpus (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — their ExactSubstr criterion,
+    expressed as sliding-window hashing instead of a suffix array: a
+    duplicated substring of length ≥ k contains a duplicated k-window,
+    so merged k-window spans cover exactly the ≥ k-token repeats).
+
+    The reference engine (RTradeLtd/Lens) has no corpus-dedup tier at
+    all (engine/engine.go indexes documents independently); this is part
+    of the training-data layer this repo adds on top.
+
+    Returns ``(id_col, span_start, span_end, n_windows)`` — token
+    positions, 1-based, ``span_end`` exclusive; ``n_windows`` counts the
+    duplicated k-windows merged into the span. Overlapping or exactly
+    adjacent windows merge (next start ≤ current end).
+
+    100 TB shape — two shuffles, zero joins, pure Catalyst:
+
+    1. map side: whitespace tokens → per-start xxhash64 of the joined
+       k-window (``transform`` over ``sequence``; the window hash is
+       internal — never compared across engines — so the cheap 8-byte
+       xxhash64 beats this module's md5 convention; the shuffle carries
+       (hash, id, pos), never window text).
+    2. shuffle 1 on the window hash: a count window + filter keeps
+       positions whose hash occurs in [min_count, max_count] — row
+       granularity, no collect_list, so a boilerplate window shared by
+       millions of docs costs rows, not memory. ``max_count`` is a
+       semantic cap (ubiquitous boilerplate is exact/minhash dedup's
+       job, and Lee et al. likewise special-case it); meter drops via
+       ``observation`` (observe_cap_drops).
+    3. shuffle 2 on doc id: collect_list of duplicated positions —
+       bounded by the doc's own token count, the same bound as the
+       document itself — then a single ``aggregate`` fold over the
+       sorted positions merges them into spans (gaps-and-islands,
+       island break at gap > k).
+
+    Window-start parallelism piggybacks on ensure_parallelism, same as
+    the signature stages of the pair operators.
+    """
+    if k < 2:
+        raise ValueError("k must be ≥ 2 (a 1-token window is a word count)")
+    from pyspark.sql import Window
+
+    df = ensure_parallelism(df)
+    toks = df.select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("toks")
+    )
+    # sequence(1, n-k+1) DESCENDS when n < k under ANSI — guard first
+    wins = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "id",
+            F.explode(
+                transform_u(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice(F.col("toks"), i, k))
+                        ).alias("wh"),
+                        i.alias("pos"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("id", F.col("w.wh").alias("wh"), F.col("w.pos").alias("pos"))
+    )
+    cnt = Window.partitionBy("wh")
+    occ = (
+        observe_cap_drops(
+            wins.withColumn("n", F.count("*").over(cnt)),
+            "n", max_count, observation, "duplicate_spans",
+        )
+        .filter((F.col("n") >= min_count) & (F.col("n") <= max_count))
+        .select("id", "pos")
+    )
+    per_doc = occ.groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
+    )
+
+    init = F.expr("CAST(array() AS array<struct<s:int,e:int,c:bigint>>)")
+
+    def merge(acc, p):
+        last = F.element_at(acc, -1)
+        ext = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(
+                last["s"].alias("s"),
+                (p + F.lit(k)).cast("int").alias("e"),
+                (last["c"] + F.lit(1)).alias("c"),
+            )),
+        )
+        app = F.concat(acc, F.array(F.struct(
+            p.cast("int").alias("s"),
+            (p + F.lit(k)).cast("int").alias("e"),
+            F.lit(1).cast("bigint").alias("c"),
+        )))
+        # nested when (not `&`) so element_at(-1) is never evaluated on
+        # the empty accumulator (ANSI array index semantics)
+        return F.when(F.size(acc) == 0, app).otherwise(
+            F.when(p <= last["e"], ext).otherwise(app)
+        )
+
+    spans = aggregate_u(F.col("ps"), init, merge)
+    return (
+        per_doc.select(F.col("id").alias(id_col),
+                       F.explode(spans).alias("sp"))
+        .select(
+            id_col,
+            F.col("sp.s").cast("long").alias("span_start"),
+            F.col("sp.e").cast("long").alias("span_end"),
+            F.col("sp.c").alias("n_windows"),
+        )
+    )

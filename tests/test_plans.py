@@ -229,3 +229,20 @@ def test_cluster_round_is_two_shuffles(spark):
     # large-star agg + small-star agg + canon distinct = 3 exchanges max
     # (AQE may plan fewer at runtime); the guard is the upper bound
     assert s.exchanges <= 3
+
+
+def test_duplicate_spans_join_free_two_shuffles(docs):
+    """duplicate_spans must stay pure-Catalyst and join-free: one scan,
+    no Python stages, and ≤3 exchanges (parallelism repartition +
+    window-hash count + doc-id groupBy). A join or a Python stage here
+    is a 100 TB regression — the window explosion is the dominant row
+    volume in the whole training tier."""
+    from lens_spark.operators.dedup import duplicate_spans
+    from lens_spark.plans.inspect import formatted_plan, plan_stats
+
+    q = duplicate_spans(docs, "doc_id", "text", k=5)
+    s = plan_stats(q)
+    assert "Join" not in formatted_plan(q)
+    assert s.scans == 1, f"window subtree duplicated: {s.scans} scans"
+    assert s.exchanges <= 3, f"exchanges={s.exchanges}"
+    assert s.python_stages == 0

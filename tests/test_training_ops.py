@@ -532,3 +532,112 @@ def test_winnowing_guarantee(spark):
         winnow_fingerprints(F.col("text"), k=5, w=4).alias("fp")
     ).collect()[0]["fp"]
     assert len(got) == 1
+
+
+# ------------------------------------------------ exact substring spans
+def _duplicate_spans_bruteforce(corpus, k, min_count=2, max_count=10**9):
+    """Pure-Python oracle for duplicate_spans: sliding k-token windows,
+    global occurrence counting on the joined window text, per-doc
+    gaps-and-islands merge (break at gap > k)."""
+    import re
+    from collections import Counter
+    from itertools import groupby
+
+    toks = {i: [t for t in re.split(r"\s+", txt) if t] for i, txt in corpus}
+    wins = []
+    for i, ts in toks.items():
+        for p in range(1, len(ts) - k + 2):
+            wins.append((i, p, " ".join(ts[p - 1:p - 1 + k])))
+    c = Counter(w for _, _, w in wins)
+    occ = sorted((i, p) for i, p, w in wins if min_count <= c[w] <= max_count)
+    out = []
+    for i, grp in groupby(occ, key=lambda x: x[0]):
+        cur = None
+        for _, p in grp:
+            if cur is not None and p <= cur[1]:
+                cur = (cur[0], p + k, cur[2] + 1)
+            else:
+                if cur is not None:
+                    out.append((i, *cur))
+                cur = (p, p + k, 1)
+        if cur is not None:
+            out.append((i, *cur))
+    return set(out)
+
+
+def _spans_set(df):
+    return {
+        (r["id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in df.collect()
+    }
+
+
+def test_duplicate_spans_matches_bruteforce(docs):
+    from lens_spark.operators.dedup import duplicate_spans
+
+    got = _spans_set(duplicate_spans(docs, "id", "text", k=4))
+    want = _duplicate_spans_bruteforce(DOCS, k=4)
+    assert got == want and want, f"{got} != {want}"
+    # docs 1 and 2 are verbatim duplicates: the span must cover the
+    # whole 12-token document as ONE merged island
+    assert (1, 1, 13, 9) in got
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """A substring repeated WITHIN one document is a duplicate too
+    (corpus-global counting, same as Lee et al.'s suffix array)."""
+    from lens_spark.operators.dedup import duplicate_spans
+
+    corpus = [
+        (1, "alpha beta gamma delta xx yy alpha beta gamma delta"),
+        (2, "unrelated words only here nothing repeats at all today"),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = _spans_set(duplicate_spans(df, "id", "text", k=4))
+    want = _duplicate_spans_bruteforce(corpus, k=4)
+    assert got == want
+    # "alpha beta gamma delta" occurs at pos 1 and 7 of doc 1 — two
+    # non-adjacent islands (gap 6 > k=4), never merged
+    assert (1, 1, 5, 1) in got and (1, 7, 11, 1) in got
+    assert not any(i == 2 for i, *_ in got)
+
+
+def test_duplicate_spans_adjacent_merge(spark):
+    """Windows whose start equals the previous span's exclusive end
+    merge (contiguous coverage, no zero-gap splits)."""
+    from lens_spark.operators.dedup import duplicate_spans
+
+    # doc 1 = A B, doc 2 = A, doc 3 = B with A, B disjoint 3-grams:
+    # in doc 1 the A-island [1,4) and B-island [4,7) are adjacent
+    corpus = [
+        (1, "a1 a2 a3 b1 b2 b3"),
+        (2, "a1 a2 a3 q1 q2 q3"),
+        (3, "z1 z2 z3 b1 b2 b3"),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = _spans_set(duplicate_spans(df, "id", "text", k=3))
+    want = _duplicate_spans_bruteforce(corpus, k=3)
+    assert got == want
+    assert (1, 1, 7, 2) in got  # merged A+B coverage in doc 1
+
+
+def test_duplicate_spans_max_count_cap(spark):
+    from pyspark.sql import Observation
+
+    from lens_spark.operators.dedup import cap_metrics, duplicate_spans
+
+    # one window shared by 4 docs, another by 2
+    corpus = [(i, "hot hot hot hot tail%d x" % i) for i in range(4)] + [
+        (10, "cold cold cold cold y z"),
+        (11, "cold cold cold cold w v"),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    obs = Observation()
+    got = _spans_set(
+        duplicate_spans(df, "id", "text", k=4, max_count=3, observation=obs)
+    )
+    want = _duplicate_spans_bruteforce(corpus, k=4, max_count=3)
+    assert got == want
+    assert all(i in (10, 11) for i, *_ in got)
+    m = cap_metrics(obs)
+    assert m and m["duplicate_spans_rows_in_overcap_groups"] == 4
