@@ -799,6 +799,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), "doc_id", "text", k=15
         ).orderBy("doc_id", "span_start")
 
+    def q_dedup_clean_text(spark, sf):
+        # ExactSubstr deletion applied: rebuild text with every
+        # duplicated 15-token span removed; md5 keeps the row narrow
+        from lens_spark.operators.dedup import remove_duplicate_spans
+
+        return (
+            remove_duplicate_spans(_docs(spark, sf), "doc_id", "text", k=15)
+            .select(
+                "doc_id",
+                F.md5(F.col("text")).alias("clean_md5"),
+                "n_removed_tokens",
+            )
+            .orderBy("doc_id")
+        )
+
     return {
         "mime_sniff": q_mime_sniff,
         "explode_reassemble": q_explode_reassemble,
@@ -817,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_clean_text": q_dedup_clean_text,
         "c4_clean": q_c4_clean,
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
@@ -1750,5 +1766,68 @@ def oracle_sql() -> dict[str, str]:
                count(*) as n_windows
         from grp group by doc_id, g
         order by doc_id, span_start
+    """
+    # ExactSubstr deletion applied: token rows anti-joined against the
+    # span coverage, text rebuilt with an ordered string_agg
+    out["dedup_clean_text"] = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        w as (
+          select doc_id, i as pos,
+                 array_to_string(toks[i:i+14], ' ') as win
+          from t, unnest(generate_series(1, len(toks) - 14)) as u(i)
+          where len(toks) >= 15
+        ),
+        occ as (
+          select doc_id, pos from w
+          where win in (select win from w
+                        group by win having count(*) >= 2)
+        ),
+        brk as (
+          select doc_id, pos,
+                 case when pos - lag(pos) over
+                        (partition by doc_id order by pos) <= 15
+                      then 0 else 1 end as newgrp
+          from occ
+        ),
+        grp as (
+          select doc_id, pos,
+                 sum(newgrp) over
+                   (partition by doc_id order by pos) as g
+          from brk
+        ),
+        spans as (
+          select doc_id, min(pos) as s, max(pos) + 15 as e
+          from grp group by doc_id, g
+        ),
+        cov as (
+          select doc_id, c.i as i
+          from spans, unnest(generate_series(s, e - 1)) as c(i)
+        ),
+        tokrows as (
+          select t.doc_id, u.i as i, toks[u.i] as tok
+          from t, unnest(generate_series(1, len(toks))) as u(i)
+        ),
+        clean as (
+          select tr.doc_id,
+                 string_agg(tr.tok, ' ' order by tr.i) as ct,
+                 count(*) as nkept
+          from tokrows tr
+          left join cov on tr.doc_id = cov.doc_id and tr.i = cov.i
+          where cov.i is null
+          group by tr.doc_id
+        )
+        select d.doc_id,
+               md5(coalesce(c.ct, '')) as clean_md5,
+               (coalesce(len(t.toks), 0) - coalesce(c.nkept, 0))::bigint
+                 as n_removed_tokens
+        from documents d
+        left join t on d.doc_id = t.doc_id
+        left join clean c on d.doc_id = c.doc_id
+        order by d.doc_id
     """
     return out

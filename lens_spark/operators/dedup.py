@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lens_spark.functions.hof import (
-    aggregate_u, transform_u, zip_with_u,
+    aggregate_u, exists_u, filter_u, transform_u, zip_with_u,
 )
 from lens_spark.functions.text import normalize_text, ws_tokens
 
@@ -589,6 +589,7 @@ def duplicate_spans(
     k: int = 50,
     min_count: int = 2,
     max_count: int = 100_000,
+    keep_first: bool = False,
     observation=None,
 ) -> DataFrame:
     """Exact substring-level dedup: for every document, the merged token
@@ -598,6 +599,13 @@ def duplicate_spans(
     expressed as sliding-window hashing instead of a suffix array: a
     duplicated substring of length ≥ k contains a duplicated k-window,
     so merged k-window spans cover exactly the ≥ k-token repeats).
+
+    ``keep_first=True`` excludes each duplicated window's corpus-global
+    first occurrence (min ``(id, pos)``) from the marked set, so
+    :func:`remove_duplicate_spans` deletes every copy but one —
+    Lee et al.'s leave-one-copy deletion at window granularity. The
+    default marks ALL occurrences (span *detection*; callers deciding
+    per-copy policy downstream).
 
     The reference engine (RTradeLtd/Lens) has no corpus-dedup tier at
     all (engine/engine.go indexes documents independently); this is part
@@ -659,14 +667,18 @@ def duplicate_spans(
         .select("id", F.col("w.wh").alias("wh"), F.col("w.pos").alias("pos"))
     )
     cnt = Window.partitionBy("wh")
-    occ = (
-        observe_cap_drops(
-            wins.withColumn("n", F.count("*").over(cnt)),
-            "n", max_count, observation, "duplicate_spans",
-        )
-        .filter((F.col("n") >= min_count) & (F.col("n") <= max_count))
-        .select("id", "pos")
-    )
+    sized = observe_cap_drops(
+        wins.withColumn("n", F.count("*").over(cnt)),
+        "n", max_count, observation, "duplicate_spans",
+    ).filter((F.col("n") >= min_count) & (F.col("n") <= max_count))
+    if keep_first:
+        # same partitioning key → the ordered row_number Window reuses
+        # the count Window's exchange (one shuffle, one extra sort)
+        first = Window.partitionBy("wh").orderBy("id", "pos")
+        sized = sized.withColumn(
+            "rn", F.row_number().over(first)
+        ).filter(F.col("rn") > 1)
+    occ = sized.select("id", "pos")
     per_doc = occ.groupBy("id").agg(
         F.array_sort(F.collect_list("pos")).alias("ps")
     )
@@ -704,4 +716,79 @@ def duplicate_spans(
             F.col("sp.e").cast("long").alias("span_end"),
             F.col("sp.c").alias("n_windows"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    max_count: int = 100_000,
+    keep_first: bool = False,
+    spans: DataFrame | None = None,
+    observation=None,
+) -> DataFrame:
+    """Apply :func:`duplicate_spans` to the corpus: rebuild each
+    document's text with every marked token span deleted. With
+    ``keep_first=True`` this is Lee et al. 2022's ExactSubstr deletion
+    (every copy of a duplicated ≥ k-token substring removed except the
+    corpus-global first); the default removes ALL copies (the stricter
+    no-verbatim-repeats guarantee some pretraining pipelines want).
+
+    Returns the input columns with ``text_col`` replaced by the cleaned
+    text (tokens re-joined with single spaces — whitespace runs are NOT
+    preserved, same as any token-level pipeline) plus
+    ``n_removed_tokens``.
+
+    Scale shape: the span side aggregates to ≤ one row per document
+    before an id-keyed equi-join back to the corpus (AQE picks broadcast
+    when the duplicated-doc set is small; at worst it is a co-partitioned
+    join on the same key as the span groupBy). Token surgery is pure
+    Catalyst lambda work on the map side. ``ws_tokens`` is evaluated a
+    second time inside the rebuild (Catalyst CSE does not cross
+    higher-order functions — see the round-2 planner notes); that is a
+    per-row split, not a shuffle, and keeps the operator fold-free.
+
+    Pass ``spans`` to reuse an already-computed :func:`duplicate_spans`
+    result (it must carry the same ``id_col``); otherwise spans are
+    derived here with the given parameters.
+    """
+    if spans is None:
+        spans = duplicate_spans(
+            df, id_col, text_col, k=k, min_count=min_count,
+            max_count=max_count, keep_first=keep_first,
+            observation=observation,
+        )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    # sequence(1, 0) DESCENDS under ANSI — guard the empty/null case
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    spans_arr = F.col("_spans")
+
+    def uncovered(i):
+        hit = exists_u(spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"]))
+        return ~F.coalesce(hit, F.lit(False))
+
+    kept = filter_u(idx, uncovered)
+    clean = F.concat_ws(
+        " ", transform_u(kept, lambda i: F.element_at(toks, i))
+    )
+    removed = (F.coalesce(n, F.lit(0)) - F.size(kept)).cast("long")
+    return joined.select(
+        *[
+            clean.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ],
+        removed.alias("n_removed_tokens"),
     )

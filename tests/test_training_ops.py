@@ -641,3 +641,53 @@ def test_duplicate_spans_max_count_cap(spark):
     assert all(i in (10, 11) for i, *_ in got)
     m = cap_metrics(obs)
     assert m and m["duplicate_spans_rows_in_overcap_groups"] == 4
+
+
+def test_duplicate_spans_keep_first(spark):
+    """keep_first excludes each window's corpus-global first occurrence
+    (min (id, pos)) from the marked set."""
+    from lens_spark.operators.dedup import duplicate_spans
+
+    corpus = [
+        (1, "alpha beta gamma delta one two"),
+        (2, "alpha beta gamma delta three four"),
+        (3, "five six alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = _spans_set(duplicate_spans(df, "id", "text", k=4, keep_first=True))
+    # doc 1 pos 1 is the first occurrence — unmarked; docs 2, 3 marked
+    assert got == {(2, 1, 5, 1), (3, 3, 7, 1)}
+
+
+def test_remove_duplicate_spans(spark):
+    from lens_spark.operators.dedup import remove_duplicate_spans
+
+    corpus = [
+        (1, "alpha beta gamma delta one two"),
+        (2, "alpha beta gamma delta three four"),
+        (3, "nothing shared here at all six"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    # remove ALL copies
+    out = {
+        r["id"]: (r["text"], r["n_removed_tokens"])
+        for r in remove_duplicate_spans(df, "id", "text", k=4).collect()
+    }
+    assert out[1] == ("one two", 4)
+    assert out[2] == ("three four", 4)
+    assert out[3] == ("nothing shared here at all six", 0)
+    assert out[4] == ("", 0)
+    assert set(out) == {1, 2, 3, 4}
+    # leave-one-copy (Lee et al.): doc 1 keeps the duplicated prefix
+    kept = {
+        r["id"]: r["text"]
+        for r in remove_duplicate_spans(
+            df, "id", "text", k=4, keep_first=True
+        ).collect()
+    }
+    assert kept[1] == "alpha beta gamma delta one two"
+    assert kept[2] == "three four"
+    # output schema: original columns + counter, text replaced in place
+    cols = remove_duplicate_spans(df, "id", "text", k=4).columns
+    assert cols == ["id", "text", "n_removed_tokens"]
