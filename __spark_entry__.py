@@ -799,6 +799,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), "doc_id", "text", k=15
         ).orderBy("doc_id", "span_start")
 
+    def q_chunk_docs(spark, sf):
+        # long-document splitting: ≤32-token chunks, 8-token overlap
+        from lens_spark.operators.pack import chunk_documents
+
+        return (
+            chunk_documents(
+                _docs(spark, sf), "doc_id", "text",
+                max_tokens=32, overlap=8,
+            )
+            .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+            .orderBy("doc_id", "chunk_id")
+        )
+
     def q_dedup_clean_text(spark, sf):
         # ExactSubstr deletion applied: rebuild text with every
         # duplicated 15-token span removed; md5 keeps the row narrow
@@ -833,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "dedup_clean_text": q_dedup_clean_text,
+        "chunk_docs": q_chunk_docs,
         "c4_clean": q_c4_clean,
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
@@ -1829,5 +1843,28 @@ def oracle_sql() -> dict[str, str]:
         left join t on d.doc_id = t.doc_id
         left join clean c on d.doc_id = c.doc_id
         order by d.doc_id
+    """
+    # chunking: chunk count 1 + ceil((n-32)/24) (clamped at 1), slices
+    # clamp at the list end on both engines
+    out["chunk_docs"] = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        nc as (
+          select doc_id, toks,
+                 case when len(toks) <= 32 then 1
+                      else ((len(toks) - 33) // 24) + 2 end as n_chunks
+          from t where len(toks) >= 1
+        )
+        select doc_id,
+               j as chunk_id,
+               len(toks[j*24 + 1 : j*24 + 32]) as n_tokens,
+               array_to_string(toks[j*24 + 1 : j*24 + 32], ' ')
+                 as chunk_text
+        from nc, unnest(generate_series(0, n_chunks - 1)) as u(j)
+        order by doc_id, chunk_id
     """
     return out

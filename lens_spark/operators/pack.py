@@ -74,3 +74,68 @@ def pack_sequences(
         return _pack_group(pdf, max_tokens)
 
     return slim.groupBy("group").applyInPandas(apply, schema=PACK_SCHEMA)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into ≤ ``max_tokens``-token chunks with
+    ``overlap`` shared tokens between consecutive chunks — the standard
+    long-document counterpart to :func:`pack_sequences` (pack joins
+    short docs, chunk splits long ones; real pretraining/RAG pipelines
+    run both).
+
+    Chunk ``j`` covers token positions ``1 + j·stride`` …
+    ``min(1 + j·stride + max_tokens − 1, n)`` with
+    ``stride = max_tokens − overlap``; the chunk count is
+    ``1 + ceil((n − max_tokens) / stride)`` (clamped at 1), so the last
+    chunk ends exactly at the document's final token and no chunk is
+    ever fully contained in its predecessor. Zero-token documents emit
+    zero chunks (deterministic; count them upstream if needed).
+
+    Returns ``(id_col, chunk_id, n_tokens, chunk_text)`` — whitespace
+    tokens re-joined with single spaces, same convention as
+    ``remove_duplicate_spans``.
+
+    Scale shape: map-only pure Catalyst (``transform`` over a chunk-index
+    ``sequence`` + ``posexplode``) — NO shuffle at all; chunking
+    parallelism is the scan's. The reference engine has no notion of
+    token budgets (it indexes whole extracted documents,
+    engine/engine.go); this belongs to the training-data tier.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be ≥ 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 ≤ overlap < max_tokens")
+    stride = max_tokens - overlap
+    from lens_spark.functions.hof import transform_u
+    from lens_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.when(n <= max_tokens, F.lit(1)).otherwise(
+            (F.floor((n - F.lit(max_tokens + 1)) / F.lit(stride)) + 2)
+            .cast("int")
+        )
+    )
+    chunks = F.when(
+        n_chunks >= 1,
+        transform_u(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.slice(toks, j * stride + 1, max_tokens),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<array<string>>)"))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_c").alias("n_tokens"),
+        F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
+    )

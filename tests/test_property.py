@@ -184,3 +184,35 @@ def test_pipeline_equals_oracle_on_random_corpora(spark, rows):
         assert g["mime_type"] == e["mime_type"], e["doc_id"]
         assert g["category"] == e["category"], e["doc_id"]
         assert g["tags"] == e["tags"], e["doc_id"]
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), max_size=25).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    keep_first=st.booleans(),
+)
+def test_duplicate_spans_equals_bruteforce(spark, texts, keep_first):
+    """duplicate_spans over a tiny vocabulary (dense window collisions,
+    heavy overlap/adjacency merging — the hard paths) must equal the
+    pure-Python sliding-window oracle, in both marking modes."""
+    from lens_spark.operators.dedup import duplicate_spans
+
+    from tests.test_training_ops import (
+        _duplicate_spans_bruteforce, _spans_set,
+    )
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = _spans_set(
+        duplicate_spans(df, "id", "text", k=3, keep_first=keep_first)
+    )
+    want = _duplicate_spans_bruteforce(corpus, k=3, keep_first=keep_first)
+    assert got == want, (texts, keep_first)

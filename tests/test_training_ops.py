@@ -535,7 +535,8 @@ def test_winnowing_guarantee(spark):
 
 
 # ------------------------------------------------ exact substring spans
-def _duplicate_spans_bruteforce(corpus, k, min_count=2, max_count=10**9):
+def _duplicate_spans_bruteforce(corpus, k, min_count=2, max_count=10**9,
+                                keep_first=False):
     """Pure-Python oracle for duplicate_spans: sliding k-token windows,
     global occurrence counting on the joined window text, per-doc
     gaps-and-islands merge (break at gap > k)."""
@@ -549,7 +550,14 @@ def _duplicate_spans_bruteforce(corpus, k, min_count=2, max_count=10**9):
         for p in range(1, len(ts) - k + 2):
             wins.append((i, p, " ".join(ts[p - 1:p - 1 + k])))
     c = Counter(w for _, _, w in wins)
-    occ = sorted((i, p) for i, p, w in wins if min_count <= c[w] <= max_count)
+    first = {}
+    if keep_first:
+        for i, p, w in sorted(wins):
+            first.setdefault(w, (i, p))
+    occ = sorted(
+        (i, p) for i, p, w in wins
+        if min_count <= c[w] <= max_count and first.get(w) != (i, p)
+    )
     out = []
     for i, grp in groupby(occ, key=lambda x: x[0]):
         cur = None
@@ -691,3 +699,61 @@ def test_remove_duplicate_spans(spark):
     # output schema: original columns + counter, text replaced in place
     cols = remove_duplicate_spans(df, "id", "text", k=4).columns
     assert cols == ["id", "text", "n_removed_tokens"]
+
+
+# ----------------------------------------------------------- doc chunking
+def _chunks_bruteforce(corpus, max_tokens, overlap):
+    import re
+
+    stride = max_tokens - overlap
+    out = []
+    for i, txt in corpus:
+        ts = [t for t in re.split(r"\s+", txt) if t]
+        n = len(ts)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= max_tokens else -((n - max_tokens) // -stride) + 1
+        for j in range(n_chunks):
+            c = ts[j * stride:j * stride + max_tokens]
+            out.append((i, j, len(c), " ".join(c)))
+    return set(out)
+
+
+def test_chunk_documents(spark):
+    from lens_spark.operators.pack import chunk_documents
+
+    corpus = [
+        (1, " ".join(f"t{i}" for i in range(13))),  # 3 chunks at 8/4
+        (2, "a b c"),                               # 1 short chunk
+        (3, " ".join(f"u{i}" for i in range(8))),   # exactly max → 1
+        (4, " ".join(f"v{i}" for i in range(9))),   # max+1 → 2
+        (5, ""),                                    # no chunks
+    ]
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = {
+        (r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "id", "text", max_tokens=8, overlap=4
+        ).collect()
+    }
+    want = _chunks_bruteforce(corpus, 8, 4)
+    assert got == want
+    assert (1, 2, 5, "t8 t9 t10 t11 t12") in got
+    assert sum(1 for i, *_ in got if i == 3) == 1
+    assert sum(1 for i, *_ in got if i == 4) == 2
+    assert not any(i == 5 for i, *_ in got)
+    # every token of every doc appears in some chunk (coverage)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from lens_spark.operators.pack import chunk_documents
+    from lens_spark.plans.inspect import plan_stats
+
+    df = spark.range(10).selectExpr(
+        "id", "repeat('w ', 100) as text"
+    )
+    s = plan_stats(chunk_documents(df, "id", "text", max_tokens=32))
+    assert s.exchanges == 0, "chunking must be map-only"
+    assert s.python_stages == 0
