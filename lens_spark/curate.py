@@ -5,7 +5,9 @@ data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
     c4 line cleaning → gopher quality rules → pii redaction
     → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
-    → language id + quality annotation [→ pack_sequences downstream]
+    → language id + quality annotation
+    [→ ExactSubstr substring deletion (exactsubstr_k)]
+    [→ chunk_documents / pack_sequences downstream]
 
 Design rule: **annotate, don't drop.** Every stage adds columns
 (``c4``, ``gopher_keep``, ``pii``, ``exact_keeper``, ``neardup_keep``)
@@ -54,7 +56,20 @@ def curate(
     c4_min_words: int = 3,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
+    exactsubstr_k: int | None = None,
 ) -> CurateResult:
+    """See module docstring. ``exactsubstr_k`` (off by default) appends
+    the substring-level stage: every duplicated ≥ k-token window among
+    the KEPT documents is deleted from all but its first occurrence
+    (``remove_duplicate_spans(keep_first=True)`` — Lee et al. 2022
+    ExactSubstr), after doc-level dedup has already removed whole-doc
+    copies. The curated output then carries ``n_removed_tokens``; the
+    kept/annotated flags are unchanged (this stage edits text, it never
+    drops documents). The curated plan is pinned with a lazy
+    ``localCheckpoint`` first so the span-detection side and the rebuild
+    side share ONE evaluation of the upstream chain (the jaccard /
+    connected-components sharing pattern, with the same non-reliable-
+    storage trade documented there)."""
     base = docs.withColumn("c4", c4_clean(F.col(text_col), c4_min_words))
     base = base.withColumn(
         "c4_keep",
@@ -135,6 +150,16 @@ def curate(
             F.col("pii.n_phone").alias("n_phone"),
         )
     )
+    if exactsubstr_k is not None:
+        from lens_spark.operators.dedup import remove_duplicate_spans
+
+        curated = remove_duplicate_spans(
+            curated.localCheckpoint(eager=False),
+            id_col,
+            text_col,
+            k=exactsubstr_k,
+            keep_first=True,
+        )
     return CurateResult(annotated=annotated, curated=curated)
 
 

@@ -114,3 +114,50 @@ def test_exact_keeper_prefers_surviving_copy(spark):
     assert flags[2]["exact_keeper"] == 1 and flags[2]["kept"] == 1
     rep = curation_report(res.annotated)
     assert rep["kept_docs"] == 1 and rep["dropped_exact_dup"] == 0
+
+
+def test_exactsubstr_stage(spark):
+    """exactsubstr_k appends leave-one-copy substring deletion over the
+    kept docs: doc-level survivors sharing a long substring keep exactly
+    one copy of it, no document is dropped, untouched docs report 0."""
+    shared = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima."
+    )
+    # Gopher-passing bodies (≥50 words, stop words, terminal punct);
+    # line templates keep every intra-doc common run under k=12 tokens
+    # and the two docs share no vocabulary beyond the planted sentence,
+    # so minhash never flags them as whole-doc near-dups
+    body10 = "\n".join(
+        f"the people said that water was near the {w} mountain today."
+        for w in ("amber", "coral", "onyx", "jade", "slate", "flint")
+    )
+    body20 = "\n".join(
+        f"a curious child found some bright {w} stones and kept {w} "
+        "near the river."
+        for w in ("red", "blue", "green", "white", "black", "golden")
+    )
+    rows = [
+        (1, _GOOD),
+        (10, shared + "\n" + body10),
+        (20, shared + "\n" + body20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(df, exactsubstr_k=12)
+    out = {r["doc_id"]: r for r in res.curated.collect()}
+    assert set(out) == {1, 10, 20}
+    # _GOOD is the same 10-token line repeated 6x — periodic text, so
+    # every k-window past the first period is an intra-doc repeat and
+    # keep_first leaves exactly the first 10 tokens (60 − 10 = 50
+    # removed): substring dedup catches within-doc repetition that
+    # whole-doc dedup structurally cannot
+    assert out[1]["n_removed_tokens"] == 50
+    # doc 10 (first occurrence) keeps the shared sentence; doc 20 loses
+    # its 12 tokens
+    assert out[10]["n_removed_tokens"] == 0
+    assert out[20]["n_removed_tokens"] == 12
+    assert "alpha bravo" in out[10]["text"]
+    assert "alpha bravo" not in out[20]["text"]
+    assert "curious child" in out[20]["text"]
+    # off by default: no n_removed_tokens column, identical behavior
+    assert "n_removed_tokens" not in curate(df).curated.columns
