@@ -1,0 +1,114 @@
+"""spark-submit entrypoint for the training-data curation pipeline
+(same deployment shape as jobs/extract_job.py — the downstream half of
+the product: extract first, then curate the extracted text into
+training-ready data):
+
+    spark-submit --py-files lens_spark.zip jobs/curate_job.py \
+        <docs.parquet> <out_dir> [--exactsubstr-k K] \
+        [--chunk MAX[,OVERLAP]] [--id-col doc_id] [--text-col text]
+
+Input: any parquet with an id column and a text column (the synthetic
+``documents`` table, or an exported ``extract_job`` output). Stages:
+
+    curate()  — C4 → Gopher → PII → exact dedup → minhash near-dup keep
+                [→ ExactSubstr substring deletion with --exactsubstr-k]
+    chunking  — optional: split curated docs into ≤MAX-token chunks
+                with OVERLAP shared tokens (--chunk MAX[,OVERLAP])
+
+Output (plain parquet — curation output feeds a trainer's data loader,
+not the search store):
+
+    <out_dir>/curated/    — curated docs (or chunks with --chunk)
+    <out_dir>/annotated/  — every input doc + per-stage keep flags
+                            (the no-silent-drops audit trail)
+
+Prints one JSON line ``CURATE_OK {...}`` with the one-pass
+curation_report stage-attrition accounting.
+
+The reference engine has no curation tier (it indexes every document it
+is given, engine/engine.go) — this job is part of the training-data
+layer this repo adds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def run(
+    spark: SparkSession,
+    docs,
+    out: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exactsubstr_k: int | None = None,
+    chunk: tuple[int, int] | None = None,
+) -> dict:
+    """Curate ``docs`` into ``out`` and return the report dict.
+
+    Kept separate from main() so tests drive the exact job logic
+    in-process (the spark-submit shell is argument parsing only)."""
+    from lens_spark.curate import curate, curation_report
+
+    res = curate(
+        docs, id_col=id_col, text_col=text_col,
+        exactsubstr_k=exactsubstr_k,
+    )
+    final = res.curated
+    if chunk is not None:
+        from lens_spark.operators.pack import chunk_documents
+
+        max_tokens, overlap = chunk
+        final = chunk_documents(
+            final, id_col, text_col,
+            max_tokens=max_tokens, overlap=overlap,
+        )
+    final.write.mode("overwrite").parquet(f"{out}/curated")
+    res.annotated.drop("c4", "pii").write.mode("overwrite").parquet(
+        f"{out}/annotated"
+    )
+    report = curation_report(res.annotated)
+    report["output_rows"] = spark.read.parquet(f"{out}/curated").count()
+    report["chunked"] = chunk is not None
+    report["exactsubstr_k"] = exactsubstr_k
+    return report
+
+
+def _flag(name: str, default=None):
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+def main() -> None:
+    args = [
+        a for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--")
+        and not sys.argv[i - 1].startswith("--")
+    ]
+    src, out = args[0], args[1]
+    k = _flag("--exactsubstr-k")
+    chunk_arg = _flag("--chunk")
+    chunk = None
+    if chunk_arg is not None:
+        parts = [int(x) for x in chunk_arg.split(",")]
+        chunk = (parts[0], parts[1] if len(parts) > 1 else 0)
+    spark = SparkSession.builder.appName("lens-curate").getOrCreate()
+    report = run(
+        spark,
+        spark.read.parquet(src),
+        out,
+        id_col=_flag("--id-col", "doc_id"),
+        text_col=_flag("--text-col", "text"),
+        exactsubstr_k=int(k) if k is not None else None,
+        chunk=chunk,
+    )
+    print("CURATE_OK " + json.dumps(report, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

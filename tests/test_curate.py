@@ -161,3 +161,38 @@ def test_exactsubstr_stage(spark):
     assert "curious child" in out[20]["text"]
     # off by default: no n_removed_tokens column, identical behavior
     assert "n_removed_tokens" not in curate(df).curated.columns
+
+
+def test_curate_job_run(spark, tmp_path):
+    """The spark-submit job logic end-to-end in-process: writes
+    curated/ + annotated/ parquet and returns the attrition report."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "curate_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    rows = [
+        (1, _GOOD),
+        (2, _GOOD),  # exact dup → dropped
+        (3, "no punct no stops"),  # c4 kills every line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "cur")
+    report = job.run(spark, df, out, chunk=(8, 2))
+    assert report["input_docs"] == 3
+    assert report["kept_docs"] == 1
+    assert report["dropped_exact_dup"] == 1
+    assert report["chunked"] is True
+    chunks = spark.read.parquet(f"{out}/curated")
+    assert chunks.columns == ["doc_id", "chunk_id", "n_tokens",
+                              "chunk_text"]
+    assert chunks.filter(F.col("n_tokens") > 8).count() == 0
+    assert report["output_rows"] == chunks.count() > 0
+    ann = spark.read.parquet(f"{out}/annotated")
+    assert ann.count() == 3 and "kept" in ann.columns

@@ -216,3 +216,63 @@ def test_duplicate_spans_equals_bruteforce(spark, texts, keep_first):
     )
     want = _duplicate_spans_bruteforce(corpus, k=3, keep_first=keep_first)
     assert got == want, (texts, keep_first)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), max_size=40).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    max_tokens=st.integers(min_value=2, max_value=9),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_documents_coverage_and_bounds(
+    spark, texts, max_tokens, overlap
+):
+    """chunk_documents invariants on random docs: equals the pure-Python
+    slicer; every chunk ≤ max_tokens; consecutive chunks share exactly
+    `overlap` tokens except the clamped last; concatenating chunks minus
+    their overlaps reproduces the document."""
+    hypothesis.assume(overlap < max_tokens)
+    from lens_spark.operators.pack import chunk_documents
+
+    from tests.test_training_ops import _chunks_bruteforce
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "id int, text string")
+    rows = chunk_documents(
+        df, "id", "text", max_tokens=max_tokens, overlap=overlap
+    ).collect()
+    got = {
+        (r["id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in rows
+    }
+    assert got == _chunks_bruteforce(corpus, max_tokens, overlap)
+    stride = max_tokens - overlap
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["chunk_id"])):
+        assert 1 <= r["n_tokens"] <= max_tokens
+        ts = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert len(ts) == r["n_tokens"]
+        by_doc.setdefault(r["id"], []).append(ts)
+    for i, txt in corpus:
+        want = [t for t in txt.split(" ") if t]
+        chunks = by_doc.get(i, [])
+        if not want:
+            assert chunks == []
+            continue
+        # chunk j starts at j*stride — rebuild positionally, asserting
+        # overlapping regions agree token-for-token
+        rebuilt = {}
+        for j, c in enumerate(chunks):
+            for o, t in enumerate(c):
+                pos = j * stride + o
+                assert rebuilt.get(pos, t) == t  # overlaps agree
+                rebuilt[pos] = t
+        assert [rebuilt[p] for p in sorted(rebuilt)] == want
