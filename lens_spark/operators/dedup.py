@@ -765,7 +765,7 @@ def remove_duplicate_spans(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"),
                      F.col("span_end").alias("e"))
-        ).alias("_spans")
+        ).alias("__dup_spans")
     )
     joined = df.join(per_doc, id_col, "left")
     toks = ws_tokens(F.col(text_col))
@@ -774,15 +774,18 @@ def remove_duplicate_spans(
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.expr("CAST(array() AS array<int>)")
     )
-    spans_arr = F.col("_spans")
+    spans_arr = F.col("__dup_spans")
 
     def uncovered(i):
         hit = exists_u(spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"]))
         return ~F.coalesce(hit, F.lit(False))
 
     kept = filter_u(idx, uncovered)
-    clean = F.concat_ws(
-        " ", transform_u(kept, lambda i: F.element_at(toks, i))
+    # null text stays null (concat_ws would otherwise turn it into "")
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat_ws(" ", transform_u(kept, lambda i: F.element_at(toks, i)))
     )
     removed = (F.coalesce(n, F.lit(0)) - F.size(kept)).cast("long")
     return joined.select(

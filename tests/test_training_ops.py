@@ -675,6 +675,7 @@ def test_remove_duplicate_spans(spark):
         (2, "alpha beta gamma delta three four"),
         (3, "nothing shared here at all six"),
         (4, ""),
+        (5, None),
     ]
     df = spark.createDataFrame(corpus, "id int, text string")
     # remove ALL copies
@@ -686,7 +687,8 @@ def test_remove_duplicate_spans(spark):
     assert out[2] == ("three four", 4)
     assert out[3] == ("nothing shared here at all six", 0)
     assert out[4] == ("", 0)
-    assert set(out) == {1, 2, 3, 4}
+    assert out[5] == (None, 0)  # null text stays null, not ""
+    assert set(out) == {1, 2, 3, 4, 5}
     # leave-one-copy (Lee et al.): doc 1 keeps the duplicated prefix
     kept = {
         r["id"]: r["text"]
