@@ -246,3 +246,10 @@ def test_duplicate_spans_join_free_two_shuffles(docs):
     assert s.scans == 1, f"window subtree duplicated: {s.scans} scans"
     assert s.exchanges <= 3, f"exchanges={s.exchanges}"
     assert s.python_stages == 0
+    # keep_first adds a row_number over the SAME window-hash key: the
+    # ordered Window must reuse the count Window's exchange, not add one
+    qk = duplicate_spans(docs, "doc_id", "text", k=5, keep_first=True)
+    sk = plan_stats(qk)
+    assert "Join" not in formatted_plan(qk)
+    assert sk.exchanges <= 3, f"keep_first exchanges={sk.exchanges}"
+    assert sk.python_stages == 0
