@@ -799,6 +799,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), "doc_id", "text", k=15
         ).orderBy("doc_id", "span_start")
 
+    def q_classifier_quality(spark, sf):
+        # fastText-style hashed linear quality classifier: exact-integer
+        # feature sum (order-independent, executor-count-independent) +
+        # quantized sigmoid. Weights are md5-derived ints — the same
+        # literals are embedded in the oracle SQL (minhash/centroid
+        # pattern). lower() parity is safe on this corpus (no Greek
+        # final sigma — analyzer v3 notes).
+        from lens_spark.functions.classifier import (
+            classifier_features, classifier_score,
+        )
+
+        f = classifier_features(F.col("text"), dim=256)
+        p = classifier_score(F.col("text"), dim=256)
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                f["sum_w"].alias("sum_w"),
+                f["n_tok"].cast("long").alias("n_tok"),
+                F.floor(p * 10000).cast("long").alias("prob_q"),
+            )
+            .orderBy("doc_id")
+        )
+
     def q_chunk_docs(spark, sf):
         # long-document splitting: ≤32-token chunks, 8-token overlap
         from lens_spark.operators.pack import chunk_documents
@@ -847,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "dedup_clean_text": q_dedup_clean_text,
         "chunk_docs": q_chunk_docs,
+        "classifier_quality": q_classifier_quality,
         "c4_clean": q_c4_clean,
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
@@ -1866,5 +1891,38 @@ def oracle_sql() -> dict[str, str]:
                  as chunk_text
         from nc, unnest(generate_series(0, n_chunks - 1)) as u(j)
         order by doc_id, chunk_id
+    """
+    # hashed linear classifier: integer weight sum is exact on both
+    # engines (order-free); only the final sigmoid is floating point,
+    # and the 1e4 quantization absorbs any ulp drift
+    from lens_spark.functions.classifier import linear_weights
+
+    _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    out["classifier_quality"] = f"""
+        with w as (select {_w} as arr),
+        t as (
+          select doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        tok as (select doc_id, unnest(toks) as tk from t),
+        s as (
+          select doc_id,
+                 sum(w.arr[
+                   (('0x' || substr(md5(tk), 1, 8))::bigint % 256) + 1
+                 ])::bigint as sum_w,
+                 count(*)::bigint as n_tok
+          from tok, w group by doc_id
+        )
+        select t.doc_id,
+               coalesce(s.sum_w, 0) as sum_w,
+               coalesce(s.n_tok, 0) as n_tok,
+               floor(10000.0 / (1.0 + exp(-(
+                 coalesce(s.sum_w, 0)
+                 / (1000.0 * greatest(coalesce(s.n_tok, 0), 1))
+               ))))::bigint as prob_q
+        from t left join s on t.doc_id = s.doc_id
+        order by t.doc_id
     """
     return out

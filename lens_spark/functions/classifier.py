@@ -1,0 +1,125 @@
+"""Model-based quality scoring: a fastText-style linear text classifier
+as pure Catalyst expressions.
+
+Real curation pipelines pair the rules-based filters (Gopher, C4 — see
+``functions/text.py``) with a learned quality classifier: hashed
+bag-of-words features through a linear model (fastText's architecture;
+the CCNet / LLaMA "looks-like-a-wiki-reference" filter is exactly this).
+This module implements that scoring head JVM-side:
+
+    token → md5 hash-bucket (hashing trick, ``dim`` buckets)
+    → integer weight lookup → exact integer sum over the document
+    → mean-pooled logit → sigmoid probability
+
+Weights are INTEGERS (scaled by 1e3) so the document aggregation is
+exact and order-independent — bit-identical across Spark, DuckDB, and
+any executor count; only the final sigmoid touches floating point (and
+the driver row quantizes it). The default weight vector is derived
+deterministically from md5 — a stand-in with the real model's exact
+execution shape. Production wiring: train/export a fastText or
+scikit-learn linear model, quantize its weights to the same 1e3 scale,
+and pass them as ``weights``; ``load_fasttext_weights`` gates the
+import of the real fasttext package (absent in this sandbox, like the
+ONNX classifier hook in extractors/ocr_stub.py).
+
+The reference engine has no learned filtering (it indexes everything,
+engine/engine.go) — training-data tier.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, functions as F
+
+from lens_spark.functions.hof import aggregate_u, transform_u
+from lens_spark.functions.text import ws_tokens
+
+WEIGHT_SCALE = 1000  # weights are ints = round(w * WEIGHT_SCALE)
+
+
+def linear_weights(dim: int = 256, seed: str = "quality-v1") -> list[int]:
+    """Deterministic stand-in weight vector: ints in [-1000, 1000],
+    derived from md5 (same literals embeddable in oracle SQL — the
+    _query_vec pattern)."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        v = int.from_bytes(h[:4], "big") % (2 * WEIGHT_SCALE + 1)
+        out.append(v - WEIGHT_SCALE)
+    return out
+
+
+def hash_bucket(tok: Column, dim: int) -> Column:
+    """Hashing-trick bucket: first 8 hex chars of md5 → [0, dim).
+    md5 (not xxhash64) so the oracle SQL computes the identical bucket
+    (DuckDB: ('0x' || substr(md5(t),1,8))::bigint % dim)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+    )
+
+
+def classifier_features(
+    col: Column, dim: int = 256, weights: list[int] | None = None
+) -> Column:
+    """struct(sum_w bigint, n_tok int): exact integer sum of the
+    hashed-bucket weights over the lowercased whitespace tokens, plus
+    the token count. Everything downstream (logit, sigmoid, a trained
+    bias) is derived from these two exact numbers."""
+    w = weights if weights is not None else linear_weights(dim)
+    if len(w) != dim:
+        raise ValueError(f"weights has {len(w)} entries, dim={dim}")
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    toks = ws_tokens(F.lower(col))
+    wsum = aggregate_u(
+        transform_u(toks, lambda t: hash_bucket(t, dim)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(warr, (b + 1).cast("int")),
+    )
+    return F.struct(
+        F.coalesce(wsum, F.lit(0).cast("long")).alias("sum_w"),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_tok"),
+    )
+
+
+def classifier_score(
+    col: Column,
+    dim: int = 256,
+    weights: list[int] | None = None,
+    bias: float = 0.0,
+) -> Column:
+    """Sigmoid of the mean-pooled logit (fastText's mean-of-embeddings
+    head, collapsed to 1-d): sigmoid(bias + sum_w / (SCALE · max(n,1))).
+    Mean pooling removes document-length bias; an empty document scores
+    sigmoid(bias). The only floating-point step — feed the exact
+    ``classifier_features`` to a quantizer when bit-stable comparison
+    matters (the driver row does)."""
+    f = classifier_features(col, dim, weights)
+    logit = F.lit(float(bias)) + f["sum_w"] / (
+        F.lit(float(WEIGHT_SCALE)) * F.greatest(f["n_tok"], F.lit(1))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+
+
+def load_fasttext_weights(path: str, dim: int = 256) -> list[int]:
+    """Production hook: load a trained fastText supervised model and
+    fold its output-layer weights into the hashed-bucket vector at
+    WEIGHT_SCALE. Gated on the real library (absent in this sandbox —
+    the module-level stand-in weights keep the execution shape
+    testable, the same convention as the ONNX hook in
+    extractors/ocr_stub.py)."""
+    try:
+        import fasttext  # noqa: F401
+    except ImportError as e:  # pragma: no cover - sandbox has no fasttext
+        raise NotImplementedError(
+            "fasttext is not installed; install it and re-call, or pass "
+            "quantized weights directly to classifier_features(weights=...)"
+        ) from e
+    model = fasttext.load_model(path)  # pragma: no cover
+    import numpy as np  # pragma: no cover
+
+    mat = model.get_input_matrix()  # pragma: no cover
+    folded = np.zeros(dim)  # pragma: no cover
+    for i, row in enumerate(mat):  # pragma: no cover
+        folded[i % dim] += float(row.mean())
+    return [int(round(x * WEIGHT_SCALE)) for x in folded]  # pragma: no cover

@@ -187,6 +187,13 @@ def test_map_only_text_ops_have_no_shuffle(docs):
     s2 = plan_stats(emb.select(quantize_int8(F.col("embedding"))))
     assert s2.exchanges == 0 and s2.python_stages == 0
 
+    from lens_spark.functions.classifier import classifier_score
+
+    s3 = plan_stats(
+        docs.select("doc_id", classifier_score(F.col("text"), dim=64))
+    )
+    assert s3.exchanges == 0 and s3.python_stages == 0
+
 
 def test_decontaminate_is_broadcast_only(docs):
     # the corpus side of decontamination must never sort-merge: the

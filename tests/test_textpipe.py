@@ -132,3 +132,70 @@ def test_contamination_flags(spark):
     # both sides apply the whole-text convention below n words, so the
     # verbatim copy of the 2-word benchmark doc is caught
     assert got[3] == (1, 1)
+
+
+# --------------------------------------------------- linear classifier
+def test_classifier_score_matches_python(spark):
+    """classifier_features' exact-integer contract vs a pure-Python
+    reimplementation: same md5 buckets, same weights, same sum — then
+    the sigmoid head's range/edge behavior."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.functions.classifier import (
+        WEIGHT_SCALE, classifier_features, classifier_score,
+        linear_weights,
+    )
+
+    dim = 64
+    w = linear_weights(dim)
+    texts = [
+        (1, "The Quick brown FOX jumps"),
+        (2, "completely different words entirely here today"),
+        (3, ""),
+        (4, None),
+        (5, "café 北京 mixed unicode tokens"),
+    ]
+    df = spark.createDataFrame(texts, "id int, text string")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            classifier_features(F.col("text"), dim=dim).alias("f"),
+            classifier_score(F.col("text"), dim=dim).alias("p"),
+        ).collect()
+    }
+
+    def py_bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+    for i, txt in texts:
+        toks = [t for t in (txt or "").lower().split() if t]
+        want_sum = sum(w[py_bucket(t)] for t in toks)
+        got = rows[i]["f"]
+        if txt is None:
+            assert got["sum_w"] == 0 and got["n_tok"] == 0
+        else:
+            assert got["sum_w"] == want_sum, (i, txt)
+            assert got["n_tok"] == len(toks)
+        want_logit = (want_sum if txt else 0) / (
+            WEIGHT_SCALE * max(len(toks), 1)
+        )
+        assert abs(rows[i]["p"] - 1 / (1 + math.exp(-want_logit))) < 1e-9
+        assert 0.0 < rows[i]["p"] < 1.0
+    # empty/null doc scores sigmoid(bias) exactly
+    assert rows[3]["p"] == 0.5 and rows[4]["p"] == 0.5
+    # bias shifts the score monotonically
+    hi = df.filter("id = 3").select(
+        classifier_score(F.col("text"), dim=dim, bias=2.0).alias("p")
+    ).collect()[0]["p"]
+    assert abs(hi - 1 / (1 + math.exp(-2.0))) < 1e-9
+
+
+def test_classifier_gated_fasttext(spark):
+    from lens_spark.functions.classifier import load_fasttext_weights
+
+    with pytest.raises(NotImplementedError):
+        load_fasttext_weights("/nonexistent/model.bin")
