@@ -5,12 +5,15 @@ training-ready data):
 
     spark-submit --py-files lens_spark.zip jobs/curate_job.py \
         <docs.parquet> <out_dir> [--exactsubstr-k K] \
-        [--chunk MAX[,OVERLAP]] [--id-col doc_id] [--text-col text]
+        [--chunk MAX[,OVERLAP]] [--classifier-min P] \
+        [--id-col doc_id] [--text-col text]
 
 Input: any parquet with an id column and a text column (the synthetic
 ``documents`` table, or an exported ``extract_job`` output). Stages:
 
-    curate()  — C4 → Gopher → PII → exact dedup → minhash near-dup keep
+    curate()  — C4 → Gopher [→ linear quality classifier with
+                --classifier-min] → PII → exact dedup → minhash
+                near-dup keep
                 [→ ExactSubstr substring deletion with --exactsubstr-k]
     chunking  — optional: split curated docs into ≤MAX-token chunks
                 with OVERLAP shared tokens (--chunk MAX[,OVERLAP])
@@ -46,6 +49,7 @@ def run(
     text_col: str = "text",
     exactsubstr_k: int | None = None,
     chunk: tuple[int, int] | None = None,
+    classifier_min: float | None = None,
 ) -> dict:
     """Curate ``docs`` into ``out`` and return the report dict.
 
@@ -56,6 +60,7 @@ def run(
     res = curate(
         docs, id_col=id_col, text_col=text_col,
         exactsubstr_k=exactsubstr_k,
+        classifier_min=classifier_min,
     )
     final = res.curated
     if chunk is not None:
@@ -105,6 +110,10 @@ def main() -> None:
         text_col=_flag("--text-col", "text"),
         exactsubstr_k=int(k) if k is not None else None,
         chunk=chunk,
+        classifier_min=(
+            float(cm) if (cm := _flag("--classifier-min")) is not None
+            else None
+        ),
     )
     print("CURATE_OK " + json.dumps(report, sort_keys=True))
     spark.stop()

@@ -57,6 +57,9 @@ def curate(
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
     exactsubstr_k: int | None = None,
+    classifier_min: float | None = None,
+    classifier_dim: int = 256,
+    classifier_weights: list[int] | None = None,
 ) -> CurateResult:
     """See module docstring. ``exactsubstr_k`` (off by default) appends
     the substring-level stage: every duplicated ≥ k-token window among
@@ -69,7 +72,15 @@ def curate(
     ``localCheckpoint`` first so the span-detection side and the rebuild
     side share ONE evaluation of the upstream chain (the jaccard /
     connected-components sharing pattern, with the same non-reliable-
-    storage trade documented there)."""
+    storage trade documented there).
+
+    ``classifier_min`` (off by default) inserts the model-based quality
+    stage after the Gopher rules: ``clf_keep`` = sigmoid score of the
+    hashed linear classifier (functions/classifier.py) over the cleaned
+    text ≥ threshold. Pass ``classifier_weights`` (a trained,
+    WEIGHT_SCALE-quantized vector — see ``load_fasttext_weights``) for a
+    real model; the default md5-derived stand-in keeps the execution
+    shape. Map-only Catalyst — adds no shuffle to the chain."""
     base = docs.withColumn("c4", c4_clean(F.col(text_col), c4_min_words))
     base = base.withColumn(
         "c4_keep",
@@ -83,6 +94,20 @@ def curate(
         "gopher_keep",
         gopher_quality_flags(F.col("c4.clean_text"))["keep"].cast("int"),
     )
+    if classifier_min is not None:
+        from lens_spark.functions.classifier import classifier_score
+
+        base = base.withColumn(
+            "clf_keep",
+            (
+                classifier_score(
+                    F.col("c4.clean_text"), dim=classifier_dim,
+                    weights=classifier_weights,
+                ) >= classifier_min
+            ).cast("int"),
+        )
+    else:
+        base = base.withColumn("clf_keep", F.lit(1))
     base = base.withColumn("pii", pii_redact(F.col("c4.clean_text")))
 
     # exact dedup: rank within identical redacted-text digests. Docs
@@ -91,7 +116,11 @@ def curate(
     # slot and its surviving twin would die as "exact dup", losing the
     # content entirely. One shuffle on the 16-byte digest.
     digest = F.md5(F.col("pii.redacted"))
-    early_surv = (F.col("c4_keep") == 1) & (F.col("gopher_keep") == 1)
+    early_surv = (
+        (F.col("c4_keep") == 1)
+        & (F.col("gopher_keep") == 1)
+        & (F.col("clf_keep") == 1)
+    )
     w = Window.partitionBy(digest).orderBy(
         F.when(early_surv, 0).otherwise(1), F.col(id_col)
     )
@@ -104,6 +133,7 @@ def curate(
     survivors = base.filter(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
+        & (F.col("clf_keep") == 1)
         & (F.col("exact_keeper") == 1)
     )
     pairs = minhash_lsh_pairs(
@@ -132,6 +162,7 @@ def curate(
         (
             (F.col("c4_keep") == 1)
             & (F.col("gopher_keep") == 1)
+            & (F.col("clf_keep") == 1)
             & (F.col("exact_keeper") == 1)
             & (F.col("neardup_keep") == 1)
         ).cast("int"),
@@ -170,14 +201,21 @@ def curation_report(annotated: DataFrame) -> dict:
     here" count conditions on surviving all earlier stages."""
     c4 = F.col("c4_keep") == 1
     go = F.col("gopher_keep") == 1
+    # tolerate pre-classifier annotated frames (clf stage off == all 1s)
+    cl = (F.col("clf_keep") == 1) if "clf_keep" in annotated.columns \
+        else F.lit(True)
     ex = F.col("exact_keeper") == 1
     row = annotated.agg(
         F.count("*").alias("input_docs"),
         F.sum((~c4).cast("long")).alias("dropped_c4"),
         F.sum((c4 & ~go).cast("long")).alias("dropped_gopher"),
-        F.sum((c4 & go & ~ex).cast("long")).alias("dropped_exact_dup"),
+        F.sum((c4 & go & ~cl).cast("long")).alias("dropped_classifier"),
+        F.sum((c4 & go & cl & ~ex).cast("long")).alias(
+            "dropped_exact_dup"
+        ),
         F.sum(
-            (c4 & go & ex & (F.col("neardup_keep") == 0)).cast("long")
+            (c4 & go & cl & ex & (F.col("neardup_keep") == 0))
+            .cast("long")
         ).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),
         # redaction volumes count what actually reached the curated

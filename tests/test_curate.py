@@ -196,3 +196,38 @@ def test_curate_job_run(spark, tmp_path):
     assert report["output_rows"] == chunks.count() > 0
     ann = spark.read.parquet(f"{out}/annotated")
     assert ann.count() == 3 and "kept" in ann.columns
+
+
+def test_classifier_stage(spark):
+    """classifier_min inserts the model-based quality gate: with
+    all-positive weights every doc scores > 0.5 (all kept); with
+    all-negative weights every doc scores < 0.5 (all dropped at the
+    classifier stage, attributed there in the report)."""
+    df = spark.createDataFrame(
+        [(1, _GOOD), (2, _GOOD.replace("sleepy", "sleepy cat", 1))],
+        "doc_id long, text string",
+    )
+    pos = [1000] * 64
+    res_keep = curate(
+        df, classifier_min=0.5, classifier_dim=64, classifier_weights=pos
+    )
+    rep = curation_report(res_keep.annotated)
+    assert rep["dropped_classifier"] == 0
+    assert rep["kept_docs"] >= 1
+    neg = [-1000] * 64
+    res_drop = curate(
+        df, classifier_min=0.5, classifier_dim=64, classifier_weights=neg
+    )
+    rep2 = curation_report(res_drop.annotated)
+    assert rep2["kept_docs"] == 0
+    assert rep2["dropped_classifier"] == 2
+    assert res_drop.curated.count() == 0
+    # partition invariant holds with the new stage in the sum
+    assert (
+        rep2["dropped_c4"] + rep2["dropped_gopher"]
+        + rep2["dropped_classifier"] + rep2["dropped_exact_dup"]
+        + rep2["dropped_near_dup"] + rep2["kept_docs"]
+    ) == rep2["input_docs"]
+    # stage off by default: clf_keep constant 1, key present and zero
+    rep3 = curation_report(curate(df).annotated)
+    assert rep3["dropped_classifier"] == 0
