@@ -1902,7 +1902,8 @@ def oracle_sql() -> dict[str, str]:
         with w as (select {_w} as arr),
         t as (
           select doc_id,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
+                 list_filter(string_split_regex(
+                   replace(lower(text), 'ς', 'σ'), '\\s+'),
                              x -> len(x) > 0) as toks
           from documents
         ),

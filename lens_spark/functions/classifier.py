@@ -70,7 +70,11 @@ def classifier_features(
     if len(w) != dim:
         raise ValueError(f"weights has {len(w)} entries, dim={dim}")
     warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    toks = ws_tokens(F.lower(col))
+    # fold Greek final sigma after lowercasing — JVM toLowerCase applies
+    # SpecialCasing's contextual ς where DuckDB/Go use simple σ; the
+    # fold makes the md5 buckets engine-identical (analyzer v3 rule,
+    # operators/search.py:143)
+    toks = ws_tokens(F.translate(F.lower(col), "ς", "σ"))
     wsum = aggregate_u(
         transform_u(toks, lambda t: hash_bucket(t, dim)),
         F.lit(0).cast("long"),

@@ -157,6 +157,7 @@ def test_classifier_score_matches_python(spark):
         (3, ""),
         (4, None),
         (5, "café 北京 mixed unicode tokens"),
+        (6, "ΣΟΦΟΣ σοφός ends"),  # final-sigma fold: JVM vs simple lower
     ]
     df = spark.createDataFrame(texts, "id int, text string")
     rows = {
@@ -172,7 +173,9 @@ def test_classifier_score_matches_python(spark):
         return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
 
     for i, txt in texts:
-        toks = [t for t in (txt or "").lower().split() if t]
+        toks = [
+            t for t in (txt or "").lower().replace("ς", "σ").split() if t
+        ]
         want_sum = sum(w[py_bucket(t)] for t in toks)
         got = rows[i]["f"]
         if txt is None:
