@@ -75,8 +75,18 @@ def main() -> None:
         f["n_tok"].alias("n_tok"),
         classifier_score(F.col("text"), dim=256).alias("prob"),
     )
+    # The raw synthetic corpus is punctuation-free word salad — C4's
+    # terminal-punctuation line rule drops every document and the rest
+    # of the chain would run on empty. A "webby" wrapper (terminal
+    # period + a stop-word tail) lets the docs reach the dedup /
+    # classifier / ExactSubstr stages so curate_full measures the whole
+    # flow; attrition still shows in curated_rows.
+    webby = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" and that is all of it today.")),
+    )
     q_curate = curate(
-        docs, classifier_min=0.45, exactsubstr_k=15
+        webby, classifier_min=0.45, exactsubstr_k=15
     ).curated
 
     # Force the FULL computation per query: a bare count() lets Catalyst

@@ -836,6 +836,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "chunk_id")
         )
 
+    def q_duplicate_spans_keepfirst(spark, sf):
+        # leave-one-copy marking: each duplicated window's corpus-global
+        # first occurrence (min (doc_id, pos)) stays unmarked
+        from lens_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(
+            _docs(spark, sf), "doc_id", "text", k=15, keep_first=True
+        ).orderBy("doc_id", "span_start")
+
     def q_dedup_clean_text(spark, sf):
         # ExactSubstr deletion applied: rebuild text with every
         # duplicated 15-token span removed; md5 keeps the row narrow
@@ -869,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
+        "duplicate_spans_keepfirst": q_duplicate_spans_keepfirst,
         "dedup_clean_text": q_dedup_clean_text,
         "chunk_docs": q_chunk_docs,
         "classifier_quality": q_classifier_quality,
@@ -1785,6 +1795,50 @@ def oracle_sql() -> dict[str, str]:
           select doc_id, pos from w
           where win in (select win from w
                         group by win having count(*) >= 2)
+        ),
+        brk as (
+          select doc_id, pos,
+                 case when pos - lag(pos) over
+                        (partition by doc_id order by pos) <= 15
+                      then 0 else 1 end as newgrp
+          from occ
+        ),
+        grp as (
+          select doc_id, pos,
+                 sum(newgrp) over
+                   (partition by doc_id order by pos) as g
+          from brk
+        )
+        select doc_id,
+               min(pos) as span_start,
+               max(pos) + 15 as span_end,
+               count(*) as n_windows
+        from grp group by doc_id, g
+        order by doc_id, span_start
+    """
+    # keep_first variant: row_number over (doc_id, pos) per window text
+    # excludes each window's corpus-global first occurrence
+    out["duplicate_spans_keepfirst"] = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        w as (
+          select doc_id, i as pos,
+                 array_to_string(toks[i:i+14], ' ') as win
+          from t, unnest(generate_series(1, len(toks) - 14)) as u(i)
+          where len(toks) >= 15
+        ),
+        occ as (
+          select doc_id, pos from (
+            select doc_id, pos,
+                   count(*) over (partition by win) as c,
+                   row_number() over
+                     (partition by win order by doc_id, pos) as rn
+            from w
+          ) where c >= 2 and rn > 1
         ),
         brk as (
           select doc_id, pos,
