@@ -276,3 +276,46 @@ def test_chunk_documents_coverage_and_bounds(
                 assert rebuilt.get(pos, t) == t  # overlaps agree
                 rebuilt[pos] = t
         assert [rebuilt[p] for p in sorted(rebuilt)] == want
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.just(""),
+            st.text(alphabet="ab .\n", max_size=60),
+            st.lists(
+                st.sampled_from(["the quick fox runs.", "lorem ipsum",
+                                 "a { brace", "and that was all of it."]),
+                min_size=1, max_size=8,
+            ).map("\n".join),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_curate_invariants_on_random_corpora(spark, texts):
+    """curate() structural invariants on arbitrary junk: annotated keeps
+    every input row (annotate-don't-drop), curated ⊆ kept, and the
+    report's stage counts partition the input exactly."""
+    from lens_spark.curate import curate, curation_report
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(df, exactsubstr_k=3, classifier_min=0.4)
+    ann = res.annotated.select("doc_id", "kept").collect()
+    assert len(ann) == len(rows)
+    kept_ids = {r["doc_id"] for r in ann if r["kept"] == 1}
+    cur = res.curated.select("doc_id").collect()
+    assert {r["doc_id"] for r in cur} == kept_ids
+    rep = curation_report(res.annotated)
+    assert rep["input_docs"] == len(rows)
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_classifier"] + rep["dropped_exact_dup"]
+        + rep["dropped_near_dup"] + rep["kept_docs"]
+    ) == rep["input_docs"]
