@@ -535,6 +535,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("media_id")
         )
 
+    def q_image_resize(spark, sf):
+        # Multimodal resize path: binary-in/binary-out Arrow batches,
+        # vs the frozen Spark-free expected parquet (resize_image_row
+        # is the shared pure core; PIL path gated, stand-in rebuilds a
+        # valid PNG at the target dims with the caption preserved)
+        from lens_spark.corpus import gen_media, media_to_spark
+        from lens_spark.operators.multimodal import resize_images
+
+        media = media_to_spark(spark, gen_media(48, seed=7))
+        return (
+            resize_images(media, width=32, height=24)
+            .select(
+                "media_id",
+                F.coalesce("width", F.lit(-1)).alias("width"),
+                F.coalesce("height", F.lit(-1)).alias("height"),
+                F.md5("payload").alias("out_md5"),
+                F.coalesce(F.octet_length("payload"), F.lit(-1))
+                .alias("out_len"),
+                "error",
+            )
+            .orderBy("media_id")
+        )
+
     def q_frame_sample(spark, sf):
         # Multimodal A/V path: every-2nd-frame sampling over the
         # LENSAV1 fixture containers; frames projected to (md5, length)
@@ -908,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_counts": q_lineage_counts,
         "extract_full": q_extract_full,
         "image_features": q_image_features,
+        "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
     }
 
@@ -1500,6 +1524,11 @@ def oracle_sql() -> dict[str, str]:
         select media_id, frame_no, frame_md5, frame_len, error
         from read_parquet('{fixdir}/frame_sample_expected.parquet')
         order by media_id, frame_no
+    """
+    out["image_resize"] = f"""
+        select media_id, width, height, out_md5, out_len, error
+        from read_parquet('{fixdir}/image_resize_expected.parquet')
+        order by media_id
     """
     # stored-IVF read path: scan the SAME frozen hive-partitioned index
     # the Spark query reads, restricted to the same nprobe lists

