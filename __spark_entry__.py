@@ -578,6 +578,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("media_id", "frame_no")
         )
 
+    def q_audio_chunks(spark, sf):
+        # Multimodal audio path: chunk-decode over the LENSAV1A fixture
+        # containers (real decode is torchaudio/ffmpeg-gated in
+        # decode_audio); chunks projected to (md5, length)
+        from lens_spark.corpus import gen_media, media_to_spark
+        from lens_spark.operators.multimodal import audio_chunks
+
+        media = media_to_spark(spark, gen_media(48, seed=7))
+        return (
+            audio_chunks(media)
+            .select(
+                "media_id",
+                F.coalesce("frame_no", F.lit(-1)).alias("chunk_no"),
+                F.md5("frame").alias("chunk_md5"),
+                F.coalesce(F.octet_length("frame"), F.lit(-1))
+                .alias("chunk_len"),
+                "error",
+            )
+            .orderBy("media_id", "chunk_no")
+        )
+
     def q_lineage_counts(spark, sf):
         # M3/lineage analogue: per-bucket row counts with md5-derived
         # bucket (deterministic across engines, unlike partition ids)
@@ -933,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
+        "audio_chunks": q_audio_chunks,
     }
 
 
@@ -1529,6 +1551,11 @@ def oracle_sql() -> dict[str, str]:
         select media_id, width, height, out_md5, out_len, error
         from read_parquet('{fixdir}/image_resize_expected.parquet')
         order by media_id
+    """
+    out["audio_chunks"] = f"""
+        select media_id, chunk_no, chunk_md5, chunk_len, error
+        from read_parquet('{fixdir}/audio_chunks_expected.parquet')
+        order by media_id, chunk_no
     """
     # stored-IVF read path: scan the SAME frozen hive-partitioned index
     # the Spark query reads, restricted to the same nprobe lists

@@ -243,3 +243,34 @@ def resize_images(
     return media.filter("kind = 'image'").select(
         "media_id", "payload"
     ).mapInPandas(batches, RESIZED)
+
+
+def audio_chunk_rows(media_id, payload) -> list[tuple]:
+    """Per-row audio chunking (pure; see image_feature_row): unpack the
+    decoded audio stream into its chunks. decode_audio carries the
+    gating — real decode needs torchaudio/ffmpeg; the LENSAV1A fixture
+    container unpacks deterministically in-sandbox."""
+    try:
+        return [
+            (media_id, i, ch, None)
+            for i, ch in enumerate(decode_audio(bytes(payload)))
+        ]
+    except Exception as e:  # noqa: BLE001
+        return [(media_id, None, None, str(e))]
+
+
+def audio_chunks(media: DataFrame) -> DataFrame:
+    """Chunk audio payloads (Arrow-batched; FRAMES schema — a chunk is
+    a frame of samples). Completes the modality matrix: image decode /
+    features / resize, video frame-sample, audio chunk-decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                rows.extend(audio_chunk_rows(mid, payload))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES])
+
+    return media.filter("kind = 'audio'").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, FRAMES)

@@ -37,7 +37,8 @@ import pandas as pd
 
 from lens_spark.corpus import gen_media
 from lens_spark.operators.multimodal import (
-    frame_sample_rows, image_feature_row, resize_image_row,
+    audio_chunk_rows, frame_sample_rows, image_feature_row,
+    resize_image_row,
 )
 
 FIXDIR = os.path.join(
@@ -129,6 +130,28 @@ def main() -> None:
     resized.to_parquet(fp, index=False)
     print(f"wrote {fp}: {len(resized)} rows "
           f"({resized.error.notna().sum()} errored)")
+
+    audio_rows = []
+    for r in media:
+        if r["kind"] != "audio":
+            continue
+        for mid, no, ch, err in audio_chunk_rows(
+                r["media_id"], r["payload"]):
+            audio_rows.append({
+                "media_id": mid,
+                "chunk_no": -1 if no is None else no,
+                "chunk_md5": (hashlib.md5(ch).hexdigest()
+                              if ch is not None else None),
+                "chunk_len": len(ch) if ch is not None else -1,
+                "error": err,
+            })
+    audio = pd.DataFrame(audio_rows).sort_values(["media_id", "chunk_no"])
+    for c in ("chunk_no", "chunk_len"):
+        audio[c] = audio[c].astype("int32")
+    fp = os.path.join(FIXDIR, "audio_chunks_expected.parquet")
+    audio.to_parquet(fp, index=False)
+    print(f"wrote {fp}: {len(audio)} rows "
+          f"({audio.error.notna().sum()} errored)")
 
 
 if __name__ == "__main__":

@@ -141,3 +141,20 @@ def test_resize_images(spark):
     assert kept_caps > 0
     for r in bad:
         assert r["payload"] is None and r["width"] is None
+
+
+def test_audio_chunks(spark):
+    from lens_spark.corpus import gen_media, media_to_spark
+    from lens_spark.operators.multimodal import audio_chunks
+
+    media = media_to_spark(spark, gen_media(24, seed=7))
+    out = audio_chunks(media).collect()
+    ok = [r for r in out if r["error"] is None]
+    bad = [r for r in out if r["error"] is not None]
+    assert ok and bad  # corrupt audio payloads quarantine
+    assert all(r["frame"] is not None and r["frame_no"] >= 0 for r in ok)
+    # chunk order is per-media contiguous from 0
+    by_m = {}
+    for r in sorted(ok, key=lambda r: (r["media_id"], r["frame_no"])):
+        by_m.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert all(nos == list(range(len(nos))) for nos in by_m.values())
