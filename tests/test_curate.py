@@ -231,3 +231,36 @@ def test_classifier_stage(spark):
     # stage off by default: clf_keep constant 1, key present and zero
     rep3 = curation_report(curate(df).annotated)
     assert rep3["dropped_classifier"] == 0
+
+
+def test_extract_then_curate_product_flow(spark, tmp_path):
+    """The two deployment surfaces compose: extract a corpus, feed the
+    extracted table's content column straight into the curation job."""
+    import importlib.util
+    import os
+
+    from lens_spark.corpus import docs_to_spark, gen_docs
+    from lens_spark.operators.resume import run_resumable
+    from lens_spark.sources.tables import LensTable
+
+    docs = docs_to_spark(spark, gen_docs(40, seed=11))
+    out_t = LensTable(str(tmp_path / "extracted"))
+    ckpt = LensTable(str(tmp_path / "checkpoint"))
+    run_resumable(spark, docs, out_t, ckpt, input_snapshot_id="t")
+    extracted = out_t.read(spark)
+    assert "content" in extracted.columns and "doc_id" in extracted.columns
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job2",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "curate_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    report = job.run(
+        spark, extracted, str(tmp_path / "cur"),
+        id_col="doc_id", text_col="content", exactsubstr_k=10,
+    )
+    assert report["input_docs"] == extracted.count() > 0
+    cur = spark.read.parquet(str(tmp_path / "cur" / "curated"))
+    assert "content" in cur.columns and "n_removed_tokens" in cur.columns
