@@ -2003,8 +2003,11 @@ def oracle_sql() -> dict[str, str]:
         order by doc_id, chunk_id
     """
     # hashed linear classifier: integer weight sum is exact on both
-    # engines (order-free); only the final sigmoid is floating point,
-    # and the 1e4 quantization absorbs any ulp drift
+    # engines (order-free); the final sigmoid is floating point, so the
+    # oracle uses the IDENTICAL IEEE operation order as the Spark side
+    # (sigmoid first, then *10000, then floor — ADVICE r4: the algebraic
+    # rewrite floor(10000/(1+e^-l)) can differ by 1 ulp at a
+    # quantization boundary)
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
@@ -2029,10 +2032,10 @@ def oracle_sql() -> dict[str, str]:
         select t.doc_id,
                coalesce(s.sum_w, 0) as sum_w,
                coalesce(s.n_tok, 0) as n_tok,
-               floor(10000.0 / (1.0 + exp(-(
+               floor((1.0 / (1.0 + exp(-(
                  coalesce(s.sum_w, 0)
                  / (1000.0 * greatest(coalesce(s.n_tok, 0), 1))
-               ))))::bigint as prob_q
+               )))) * 10000.0)::bigint as prob_q
         from t left join s on t.doc_id = s.doc_id
         order by t.doc_id
     """

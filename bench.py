@@ -11,9 +11,28 @@ deterministically from the flat documents table (lens_spark.benchdata).
 Corpus derivation is cached under .bench_cache/ and NOT counted in the
 timings; the extra dict reports docs/sec and corpus size.
 
+Weather-proofing (VERDICT r4: the committed r4 snapshot was 2x r3 wall
+at IDENTICAL user-cpu — pure host contention, unusable as round-over-
+round evidence):
+
+- **cpu-normalized throughput is first-class**: ``cpu_per_doc_ms`` and
+  ``docs_per_cpu_sec`` (user+system cpu over the extract headline) sit
+  next to the wall numbers. User-cpu per doc is stable across co-tenant
+  weather (measured r3→r4: 118.6 vs 120.7 cpu-s under a 2x wall swing),
+  so round-over-round comparisons read THAT first.
+- **calm-window attestation with retry**: each attempt is bracketed by
+  a pinned pure-CPU spinner probe (aggregate-vs-single-core efficiency,
+  the run_scaling.py trick) and the extract rep's /proc/stat steal
+  fraction; a dirty window (steal_frac > BENCH_STEAL_FRAC, default
+  0.08, or spinner eff < BENCH_SPIN_EFF, default 0.70) is re-measured
+  up to BENCH_CALM_RETRIES (default 2) extra times, and the cleanest
+  attempt is reported with its attestation in ``extra["calm"]``.
+  Retries are disabled under BENCH_ONLY (run_scaling.py brings its own
+  interleaved-pair methodology).
+
 Scaling evidence (north_rule: ≥0.8 efficiency from N to 4N): run
 ``python BENCH/run_scaling.py`` which executes this same extract job at
-local[8] and local[32] and writes BENCH/BASELINE.md.
+two core counts and writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -22,6 +41,43 @@ import json
 import os
 import sys
 import time
+
+
+def spinner_efficiency(cores: int, seconds: float = 0.8) -> float:
+    """Deliverable-parallelism probe: crc32 spinners pinned to 1 core vs
+    all ``cores``; returns (aggregate/single)/cores — ~1.0 on truthful
+    silicon, swinging down when co-tenants eat the cycles (the
+    steal-invisible contention mode; see BENCH/run_scaling.py)."""
+    import multiprocessing as mp
+    import zlib
+
+    def spin(cpu: int, out, idx: int) -> None:
+        try:
+            os.sched_setaffinity(0, {cpu})
+        except OSError:
+            pass
+        buf = b"x" * (1 << 20)
+        end = time.monotonic() + seconds
+        n = 0
+        while time.monotonic() < end:
+            zlib.crc32(buf)
+            n += 1
+        out[idx] = n
+
+    def run(cpus: list[int]) -> float:
+        with mp.Manager() as m:
+            out = m.dict()
+            procs = [mp.Process(target=spin, args=(c, out, c))
+                     for c in cpus]
+            for p in procs:
+                p.start()
+            for p in procs:
+                p.join()
+            return float(sum(out.get(c, 0) for c in cpus))
+
+    single = run([0])
+    agg = run(list(range(cores)))
+    return round((agg / max(single, 1.0)) / cores, 3)
 
 
 def ensure_corpus(spark, sf_dir: str) -> str:
@@ -85,9 +141,6 @@ def main() -> None:
     spans = spark.read.parquet(corpus_path)
     n_docs = spans.count()
 
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {"n_docs": n_docs, "cores": cores}
-
     warm_runs = int(os.environ.get("BENCH_WARM", "1"))
     agg = os.environ.get("BENCH_AGG", "median")  # median | min
     # BENCH_ONLY=extract,dedup_minhash_lsh limits to named queries —
@@ -100,30 +153,6 @@ def main() -> None:
             v = list(map(int, f.readline().split()[1:9]))
         return {"user": v[0], "system": v[2], "steal": v[7]}
 
-    def timed(name: str, fn, reps: int = 1) -> None:
-        if only_set is not None and name not in only_set:
-            return
-        for _ in range(warm_runs):  # discarded warm runs (JIT, codegen,
-            fn()                    # python workers, page cache)
-        samples, cpus = [], []
-        for _ in range(reps):
-            c0 = _cpu()
-            t0 = time.time()
-            fn()
-            samples.append(time.time() - t0)
-            c1 = _cpu()
-            cpus.append({k: round((c1[k] - c0[k]) / 100.0, 1) for k in c0})
-        best = min(range(len(samples)), key=lambda i: samples[i])
-        if agg == "min":
-            # best-of-N: the host VM suffers multi-minute CPU-steal storms
-            # (measured steal up to 1300 cpu-s per run); min is the
-            # contention-free estimate of the job's true cost
-            timings[name] = round(samples[best], 3)
-        else:
-            samples_sorted = sorted(samples)
-            timings[name] = round(samples_sorted[len(samples) // 2], 3)
-        extra[f"cpu_{name}"] = cpus[best]
-
     # headline: full extraction INCLUDING the table sink (a pipeline ends
     # in a write; timing a bare count would flatter the number)
     out_path = os.path.join(os.path.dirname(corpus_path),
@@ -133,15 +162,6 @@ def main() -> None:
     # round-trips — real but amortized to nothing at production scale, so
     # it must not contaminate the per-rep core-scaling signal
     extract_plan = extract(spans).extracted
-
-    def run_extract() -> None:
-        extract_plan.write.mode("overwrite").parquet(out_path)
-        extra["extracted_docs"] = spark.read.parquet(out_path).count()
-
-    timed("extract", run_extract,
-          reps=int(os.environ.get("BENCH_REPS", "3")))
-    if "extract" in timings:
-        extra["docs_per_sec"] = round(n_docs / timings["extract"], 2)
 
     docs_flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -165,26 +185,127 @@ def main() -> None:
         for p in parts[1:]:
             docs_dedup = docs_dedup.unionByName(p)
 
-    timed("dedup_minhash_lsh",
-          lambda: minhash_lsh_pairs(docs_dedup, "doc_id", "text",
-                                    num_hashes=16, bands=4,
-                                    hash_fn="xxhash64").count())
-    timed("dedup_exact", lambda: __import__(
-        "lens_spark.operators.dedup", fromlist=["exact_dedup"]
-    ).exact_dedup(docs_dedup, "doc_id", "text").count())
-    timed("ann_cosine_topk",
-          lambda: cosine_topk(emb, "vec_id", "embedding",
-                              entrymod._query_vec(), k=25).collect())
-    timed("events_window",
-          lambda: windowed_event_counts(events).count())
+    def run_attempt() -> tuple[dict, dict]:
+        timings: dict[str, float] = {}
+        extra: dict = {"n_docs": n_docs, "cores": cores}
 
-    # search over the extracted table (content flatten + clause eval)
-    if only_set is None or "search_required" in only_set:
-        ext = spark.read.parquet(out_path)
-        timed("search_required",
-              lambda: search(ext, Query(required=["merge shuffle vector"]))
-              .count())
+        def timed(name: str, fn, reps: int = 1) -> None:
+            if only_set is not None and name not in only_set:
+                return
+            for _ in range(warm_runs):  # discarded warm runs (JIT,
+                fn()                    # codegen, py workers, page cache)
+            samples, cpus = [], []
+            for _ in range(reps):
+                c0 = _cpu()
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+                c1 = _cpu()
+                cpus.append(
+                    {k: round((c1[k] - c0[k]) / 100.0, 1) for k in c0}
+                )
+            best = min(range(len(samples)), key=lambda i: samples[i])
+            if agg == "min":
+                # best-of-N: the host VM suffers multi-minute CPU-steal
+                # storms (measured steal up to 1300 cpu-s per run); min
+                # is the contention-free estimate of the job's true cost
+                timings[name] = round(samples[best], 3)
+            else:
+                samples_sorted = sorted(samples)
+                timings[name] = round(samples_sorted[len(samples) // 2], 3)
+            extra[f"cpu_{name}"] = cpus[best]
 
+        def run_extract() -> None:
+            extract_plan.write.mode("overwrite").parquet(out_path)
+            extra["extracted_docs"] = spark.read.parquet(out_path).count()
+
+        timed("extract", run_extract,
+              reps=int(os.environ.get("BENCH_REPS", "3")))
+        if "extract" in timings:
+            extra["docs_per_sec"] = round(n_docs / timings["extract"], 2)
+            # cpu-normalized throughput: weather-stable headline twin
+            c = extra["cpu_extract"]
+            busy = c["user"] + c["system"]
+            extra["cpu_per_doc_ms"] = round(busy * 1000.0 / n_docs, 3)
+            extra["docs_per_cpu_sec"] = round(n_docs / max(busy, 1e-9), 2)
+
+        timed("dedup_minhash_lsh",
+              lambda: minhash_lsh_pairs(docs_dedup, "doc_id", "text",
+                                        num_hashes=16, bands=4,
+                                        hash_fn="xxhash64").count())
+        timed("dedup_exact", lambda: __import__(
+            "lens_spark.operators.dedup", fromlist=["exact_dedup"]
+        ).exact_dedup(docs_dedup, "doc_id", "text").count())
+        timed("ann_cosine_topk",
+              lambda: cosine_topk(emb, "vec_id", "embedding",
+                                  entrymod._query_vec(), k=25).collect())
+        timed("events_window",
+              lambda: windowed_event_counts(events).count())
+
+        # search over the extracted table (content flatten + clause eval)
+        if only_set is None or "search_required" in only_set:
+            ext = spark.read.parquet(out_path)
+            timed("search_required",
+                  lambda: search(ext,
+                                 Query(required=["merge shuffle vector"]))
+                  .count())
+        return timings, extra
+
+    # ---- calm-window attestation loop (VERDICT r4) ----
+    steal_thresh = float(os.environ.get("BENCH_STEAL_FRAC", "0.08"))
+    spin_thresh = float(os.environ.get("BENCH_SPIN_EFF", "0.70"))
+    retries = 0 if only_set is not None else int(
+        os.environ.get("BENCH_CALM_RETRIES", "2"))
+
+    def attest(timings: dict, extra: dict, spin: list[float]) -> dict:
+        c = extra.get("cpu_extract", {})
+        wall = timings.get("extract", 0.0)
+        # /proc/stat steal covers ALL host vCPUs, so normalize by the
+        # host's CPU count, not the job's core allotment
+        host_cpus = os.cpu_count() or cores
+        steal_frac = (round(c.get("steal", 0.0) / (wall * host_cpus), 4)
+                      if wall else None)
+        ok = ((steal_frac is None or steal_frac <= steal_thresh)
+              and min(spin) >= spin_thresh)
+        return {
+            "attested": ok,
+            "steal_frac_extract": steal_frac,
+            "spinner_eff": spin,
+            "thresholds": {"steal_frac": steal_thresh,
+                           "spin_eff": spin_thresh},
+        }
+
+    best_run = None
+    for attempt in range(retries + 1):
+        if only_set is not None:
+            # run_scaling.py pairs bring their own interleaved probes —
+            # don't burn pinned-core seconds on a duplicate spinner
+            timings, extra = run_attempt()
+            extra["calm"] = {"attested": None,
+                             "skipped": "BENCH_ONLY pair mode"}
+            best_run = (timings, extra)
+            break
+        spin0 = spinner_efficiency(cores)
+        timings, extra = run_attempt()
+        spin1 = spinner_efficiency(cores)
+        calm = attest(timings, extra, [spin0, spin1])
+        calm["attempts"] = attempt + 1
+        extra["calm"] = calm
+        cand = (timings, extra)
+        if best_run is None or (
+            sum(timings.values()) < sum(best_run[0].values())
+        ):
+            best_run = cand
+        if calm["attested"]:
+            best_run = cand
+            break
+        if attempt < retries:
+            print(f"# dirty window (attempt {attempt + 1}: "
+                  f"steal_frac={calm['steal_frac_extract']} "
+                  f"spin={calm['spinner_eff']}) — retrying",
+                  file=sys.stderr)
+
+    timings, extra = best_run
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({

@@ -81,30 +81,45 @@ def curate(
     WEIGHT_SCALE-quantized vector — see ``load_fasttext_weights``) for a
     real model; the default md5-derived stand-in keeps the execution
     shape. Map-only Catalyst — adds no shuffle to the chain."""
+    # Stage flags are COALESCED to 0: c4_clean(NULL) yields NULL flags,
+    # and a NULL flag would put a null-text doc in NO report bucket
+    # (neither dropped_* nor kept — sums skip NULLs), silently violating
+    # the no-silent-drops invariant (ADVICE r4). NULL text = dropped at
+    # the first stage, counted in dropped_c4.
     base = docs.withColumn("c4", c4_clean(F.col(text_col), c4_min_words))
     base = base.withColumn(
         "c4_keep",
-        (
-            (F.col("c4.n_kept") > 0)
-            & (F.col("c4.has_lorem") == 0)
-            & (F.col("c4.has_brace") == 0)
-        ).cast("int"),
+        F.coalesce(
+            (
+                (F.col("c4.n_kept") > 0)
+                & (F.col("c4.has_lorem") == 0)
+                & (F.col("c4.has_brace") == 0)
+            ).cast("int"),
+            F.lit(0),
+        ),
     )
     base = base.withColumn(
         "gopher_keep",
-        gopher_quality_flags(F.col("c4.clean_text"))["keep"].cast("int"),
+        F.coalesce(
+            gopher_quality_flags(F.col("c4.clean_text"))["keep"]
+            .cast("int"),
+            F.lit(0),
+        ),
     )
     if classifier_min is not None:
         from lens_spark.functions.classifier import classifier_score
 
         base = base.withColumn(
             "clf_keep",
-            (
-                classifier_score(
-                    F.col("c4.clean_text"), dim=classifier_dim,
-                    weights=classifier_weights,
-                ) >= classifier_min
-            ).cast("int"),
+            F.coalesce(
+                (
+                    classifier_score(
+                        F.col("c4.clean_text"), dim=classifier_dim,
+                        weights=classifier_weights,
+                    ) >= classifier_min
+                ).cast("int"),
+                F.lit(0),
+            ),
         )
     else:
         base = base.withColumn("clf_keep", F.lit(1))
@@ -149,7 +164,11 @@ def curate(
     labels = connected_components(pairs).withColumnRenamed(
         "node", id_col
     )
-    annotated = base.join(F.broadcast(labels), on=id_col, how="left")
+    # label join-back: NO forced broadcast — on a near-dup-heavy corpus
+    # (this pipeline's target case) the pair-participating doc set can
+    # exceed the broadcast limit; AQE picks broadcast from runtime size
+    # when it fits, same as dedup_keep in cluster.py (ADVICE r4)
+    annotated = base.join(labels, on=id_col, how="left")
     annotated = annotated.withColumn(
         "neardup_keep",
         (

@@ -105,13 +105,30 @@ def classifier_score(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
 
 
+def py_hash_bucket(tok: str, dim: int) -> int:
+    """Driver-side twin of :func:`hash_bucket` (same md5 prefix → same
+    bucket), applied to an ALREADY-normalized token. Used by the weight
+    loader so trained vocabulary lands in the buckets scoring reads."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % dim
+
+
 def load_fasttext_weights(path: str, dim: int = 256) -> list[int]:
     """Production hook: load a trained fastText supervised model and
-    fold its output-layer weights into the hashed-bucket vector at
-    WEIGHT_SCALE. Gated on the real library (absent in this sandbox —
-    the module-level stand-in weights keep the execution shape
-    testable, the same convention as the ONNX hook in
-    extractors/ocr_stub.py)."""
+    fold each vocabulary word's logit contribution into the bucket that
+    :func:`hash_bucket` assigns it at scoring time (ADVICE r4: folding
+    by matrix row index would score tokens with unrelated weights).
+
+    For each vocab word w, its contribution to the positive-label
+    pre-sigmoid logit is input_vector(w) · output_row(label 0) — the
+    exact linear term fastText adds for that token before mean pooling.
+    The word is normalized the way ``classifier_features`` normalizes
+    tokens (lowercase + Greek final-sigma fold) before bucketing, so
+    scoring-time md5 buckets hit the folded weights. Colliding vocab
+    words sum — the hashing trick's standard additive collision; the
+    fold is lossless when every bucket holds ≤ 1 vocab word. Gated on
+    the real library (absent in this sandbox — the module-level
+    stand-in weights keep the execution shape testable, the same
+    convention as the ONNX hook in extractors/ocr_stub.py)."""
     try:
         import fasttext  # noqa: F401
     except ImportError as e:  # pragma: no cover - sandbox has no fasttext
@@ -122,8 +139,12 @@ def load_fasttext_weights(path: str, dim: int = 256) -> list[int]:
     model = fasttext.load_model(path)  # pragma: no cover
     import numpy as np  # pragma: no cover
 
-    mat = model.get_input_matrix()  # pragma: no cover
+    out_pos = np.asarray(model.get_output_matrix())[0]  # pragma: no cover
     folded = np.zeros(dim)  # pragma: no cover
-    for i, row in enumerate(mat):  # pragma: no cover
-        folded[i % dim] += float(row.mean())
+    for word in model.get_words():  # pragma: no cover
+        tok = word.lower().replace("ς", "σ")
+        contrib = float(
+            np.asarray(model.get_word_vector(word)) @ out_pos
+        )
+        folded[py_hash_bucket(tok, dim)] += contrib
     return [int(round(x * WEIGHT_SCALE)) for x in folded]  # pragma: no cover

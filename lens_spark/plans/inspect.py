@@ -54,6 +54,110 @@ def plan_stats(df: DataFrame) -> PlanStats:
     )
 
 
+def _topmost_exchange_partitions(plan: str) -> int | None:
+    """Partition count of the TOPMOST Exchange in an executed-plan
+    string (the last exchange applied governs the df's output
+    parallelism), or None if the plan has no exchange."""
+    i = plan.find("Exchange ")
+    if i < 0:
+        return None
+    rest = plan[i + len("Exchange "):]
+    if rest.startswith("SinglePartition"):
+        return 1
+    j = rest.find("(")
+    if j < 0 or "\n" in rest[:j]:
+        return None
+    depth = 0
+    for k in range(j, len(rest)):
+        c = rest[k]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                # partition count is the last top-level argument:
+                # RoundRobinPartitioning(16), hashpartitioning(a#1, 32),
+                # rangepartitioning(x#1 ASC NULLS FIRST, 32)
+                inner, d2, last = rest[j + 1:k], 0, ""
+                for ch in inner:
+                    if ch == "(":
+                        d2 += 1
+                    elif ch == ")":
+                        d2 -= 1
+                    elif ch == "," and d2 == 0:
+                        last = ""
+                        continue
+                    last += ch
+                last = last.strip()
+                return int(last) if last.isdigit() else None
+    return None
+
+
+def estimated_partitions(df: DataFrame) -> int | None:
+    """Plan-level estimate of the df's output partition count WITHOUT
+    building an RDD (VERDICT r3/r4: ``df.rdd.getNumPartitions()``
+    constructs a Python RDD conversion per call and is unavailable on
+    Spark Connect).
+
+    - topmost Exchange in the physical plan → its partition count (a
+      repartition / aggregation already fixed the parallelism; AQE may
+      later coalesce an implicit shuffle below this number — the
+      estimate is the pre-AQE upper bound)
+    - else, file-source scans only → Spark's own split-packing formula
+      (sql FilePartition.maxSplitBytes — public source) applied to the
+      file index's total size, summed over scans
+    - else None: non-file leaf (local relation, range) or JVM plan
+      unreachable (Spark Connect) — callers must assume narrow.
+    """
+    try:
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan()
+        n = _topmost_exchange_partitions(plan.toString())
+        if n is not None:
+            return n
+        spark = df.sparkSession
+        conf = spark._jsparkSession.sessionState().conf()
+        max_split = conf.filesMaxPartitionBytes()
+        open_cost = conf.filesOpenCostInBytes()
+        parallelism = spark.sparkContext.defaultParallelism
+        total, nfiles = 0, 0
+        it = plan.collectLeaves().iterator()
+        while it.hasNext():
+            leaf = it.next()
+            if leaf.getClass().getSimpleName() != "FileSourceScanExec":
+                return None
+            loc = leaf.relation().location()
+            total += loc.sizeInBytes()
+            nfiles += len(loc.inputFiles())
+        if nfiles == 0:
+            return None
+        padded = total + nfiles * open_cost
+        split = int(min(max_split,
+                        max(open_cost, padded / max(parallelism, 1))))
+        # replicate FilePartition.getFilePartitions' packing loop with
+        # uniform per-file sizes (exact file lengths live behind the
+        # file index; uniform is right for parquet datasets written by
+        # this engine and close enough for the narrow-vs-wide decision)
+        file_size = total // nfiles
+        pieces: list[int] = []
+        for _ in range(nfiles):
+            s = file_size
+            while s > split:
+                pieces.append(split)
+                s -= split
+            if s > 0:
+                pieces.append(s)
+        parts, current = 0, 0
+        for p in pieces:
+            if current + p > split and current > 0:
+                parts += 1
+                current = 0
+            current += p + open_cost
+        return max(1, parts + (1 if current > 0 else 0))
+    except Exception:
+        return None
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     """Assert some filter fragment reached the scan (predicate pushdown)."""
     stats = plan_stats(df)

@@ -264,3 +264,24 @@ def test_extract_then_curate_product_flow(spark, tmp_path):
     assert report["input_docs"] == extracted.count() > 0
     cur = spark.read.parquet(str(tmp_path / "cur" / "curated"))
     assert "content" in cur.columns and "n_removed_tokens" in cur.columns
+
+
+def test_null_text_lands_in_report_bucket(spark):
+    """ADVICE r4: a NULL-text doc must land in exactly one report bucket
+    (dropped_c4), not vanish from the accounting — stage flags are
+    coalesced to 0, never NULL."""
+    rows = [(1, _GOOD), (2, None), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(docs)
+    flags = {r["doc_id"]: r for r in res.annotated.collect()}
+    for d in (2, 3):
+        assert flags[d]["c4_keep"] == 0
+        assert flags[d]["kept"] == 0
+    rep = curation_report(res.annotated)
+    assert rep["input_docs"] == 3
+    assert rep["dropped_c4"] == 2
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
+        + rep["kept_docs"]
+    ) == rep["input_docs"]

@@ -196,13 +196,20 @@ def test_map_only_text_ops_have_no_shuffle(docs):
 
 
 def test_decontaminate_is_broadcast_only(docs):
-    # the corpus side of decontamination must never sort-merge: the
-    # benchmark gram set broadcasts, hits aggregate, hits broadcast back
+    # the corpus side of decontamination must never sort-merge AT THIS
+    # SCALE: the benchmark gram set broadcasts (forced — genuinely
+    # tiny), and the hit-table join-back is AQE-decided (ADVICE r4: a
+    # forced broadcast there blows up when a boilerplate gram flags a
+    # large corpus fraction), so broadcast must appear in the FINAL
+    # adaptive plan after execution
     from lens_spark.operators.decontam import contamination_flags
 
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     q = contamination_flags(docs, bench, "doc_id", "text", n=5)
-    plan = executed_plan(q)
+    q.collect()
+    # the executed adaptive plan prints Final AND Initial sections —
+    # count joins in the final section only
+    plan = executed_plan(q).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
 
@@ -260,3 +267,21 @@ def test_duplicate_spans_join_free_two_shuffles(docs):
     assert "Join" not in formatted_plan(qk)
     assert sk.exchanges <= 3, f"keep_first exchanges={sk.exchanges}"
     assert sk.python_stages == 0
+
+
+def test_estimated_partitions_plan_level(spark):
+    """VERDICT r4: partition-width probing must not build an RDD.
+    estimated_partitions reads the plan: topmost exchange wins, file
+    scans use Spark's split-packing formula, exotic leaves → None."""
+    from lens_spark.plans.inspect import estimated_partitions
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    est = estimated_partitions(d)
+    # small single-file scan: estimate must agree with the real width
+    assert est == d.rdd.getNumPartitions()
+    # explicit repartition: the exchange's count, exactly
+    assert estimated_partitions(d.repartition(16)) == 16
+    assert estimated_partitions(d.groupBy("lang").count().coalesce(1)) \
+        is not None
+    # non-file leaf: unknown → None (callers assume narrow)
+    assert estimated_partitions(spark.range(100)) is None

@@ -202,3 +202,77 @@ def test_classifier_gated_fasttext(spark):
 
     with pytest.raises(NotImplementedError):
         load_fasttext_weights("/nonexistent/model.bin")
+
+
+def test_contamination_gram_df_cap(spark):
+    """ADVICE r4: a boilerplate gram in the eval set must be cappable —
+    max_gram_df drops bench grams matching more than that many corpus
+    docs, and the drop is metered (no-silent-caps convention)."""
+    from pyspark.sql import Observation
+
+    from lens_spark.operators.decontam import contamination_flags
+    from lens_spark.operators.dedup import cap_metrics
+
+    boiler = "this content is provided as is without any warranty"
+    bench = spark.createDataFrame(
+        [(100, boiler), (101, "the rare answer is exactly seventeen")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} body text. {boiler}") for i in range(1, 7)]
+        + [(7, "the rare answer is exactly seventeen")],
+        "doc_id long, text string",
+    )
+    # uncapped: all 7 contaminated
+    base = contamination_flags(corpus, bench, "doc_id", "text", n=8)
+    assert sum(r["contaminated"] for r in base.collect()) == 7
+    # capped at 5: the boilerplate grams (6 corpus docs each) drop;
+    # only the genuine rare hit survives, and the cap is metered
+    obs = Observation("decontam-cap")
+    capped = contamination_flags(
+        corpus, bench, "doc_id", "text", n=8,
+        max_gram_df=5, observation=obs,
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in capped.collect()}
+    assert got[7] == 1
+    assert sum(got.values()) == 1
+    m = cap_metrics(obs)
+    assert m["decontam_rows_in_overcap_groups"] > 0
+    assert m["decontam_max_group_size"] == 6
+
+
+def test_cap_metrics_real_failure_raises():
+    """VERDICT r4: a real metrics-read failure must raise, not warn —
+    only the documented AQE empty-row elimination returns None."""
+    import pytest
+
+    class _BoomRow:
+        def length(self):
+            raise RuntimeError("py4j connection dead")
+
+    class _FakeJo:
+        def getRow(self):
+            return _BoomRow()
+
+    class _FakeObs:
+        _jo = _FakeJo()
+
+    from lens_spark.operators.dedup import cap_metrics
+
+    with pytest.raises(RuntimeError, match="py4j connection dead"):
+        cap_metrics(_FakeObs())
+
+
+def test_py_hash_bucket_matches_spark(spark):
+    """Weight-loader bucket mapping (ADVICE r4) must equal the scoring
+    engine's md5 bucket for any token."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.functions.classifier import hash_bucket, py_hash_bucket
+
+    toks = ["the", "Zürich", "σκιά", "x" * 40, "42", "a-b_c"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select("tok", hash_bucket(F.col("tok"), 256).alias("b")
+                     ).collect()
+    for r in rows:
+        assert r["b"] == py_hash_bucket(r["tok"], 256)
