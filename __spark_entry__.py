@@ -867,6 +867,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_curate_chain(spark, sf):
+        # VERDICT r4 item 2: the COMPOSED curation pipeline as one
+        # driver row — per-doc stage flags from curate().annotated.
+        # The per-stage rows are individually green; composition (flag
+        # conjunction, keeper ranking conditioned on earlier stages,
+        # near-dup clustering over survivors only) is where chain bugs
+        # live — reference analogue engine/engine_test.go:17-113 E2E
+        # style. md5 minhash leg for DuckDB bit-parity; doc_id < 150
+        # bounds the oracle's recursive transitive closure.
+        #
+        # Input derivation (both engines compute the SAME corpus): the
+        # flat word-soup gets the c4_clean row's sentence/contamination
+        # augmentation so each stage has real attrition, plus planted
+        # exact copies (+1000, every 10th doc) and near copies (+2000,
+        # appended tail sentence, every 10th-offset-5 doc) so the
+        # keeper ranking and the near-dup cluster leg both fire.
+        from lens_spark.curate import curate
+
+        # stopword-rich terminal tail: the raw soup has almost no Gopher
+        # stop words and cleaning leaves < 50 words for short docs, so
+        # without it the gopher stage annihilates (0 survivors) instead
+        # of attriting — the tail lets decently-sized docs pass while
+        # short ones still fail the 50-word floor
+        tail = (" the end of this record is that we have it with"
+                " others and more of that to be sure of the case and"
+                " the rest of it all.")
+        lined = F.concat(
+            F.replace(
+                F.col("text"), F.lit(" table "), F.lit(".\ntable ")
+            ),
+            F.lit(tail),
+        )
+        aug = F.concat(
+            lined,
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nEnable javascript today."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit("\nconfig = { }"),
+            ).otherwise(F.lit("")),
+        )
+        src = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 150)
+            .select("doc_id", aug.alias("text"))
+        )
+        dup = src.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        near = src.filter(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit("\nzq appendix tail marker sentence."),
+            ).alias("text"),
+        )
+        res = curate(
+            src.unionByName(dup).unionByName(near),
+            minhash_hashes=8, minhash_bands=4, minhash_hash_fn="md5",
+        )
+        return (
+            res.annotated.select(
+                "doc_id",
+                F.col("c4_keep").cast("int").alias("c4_keep"),
+                F.col("gopher_keep").cast("int").alias("gopher_keep"),
+                F.col("clf_keep").cast("int").alias("clf_keep"),
+                F.col("exact_keeper").cast("int").alias("exact_keeper"),
+                F.col("neardup_keep").cast("int").alias("neardup_keep"),
+                F.col("kept").cast("int").alias("kept"),
+            ).orderBy("doc_id")
+        )
+
     def q_chunk_docs(spark, sf):
         # long-document splitting: ≤32-token chunks, 8-token overlap
         from lens_spark.operators.pack import chunk_documents
@@ -926,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clean_text": q_dedup_clean_text,
         "chunk_docs": q_chunk_docs,
         "classifier_quality": q_classifier_quality,
+        "curate_chain": q_curate_chain,
         "c4_clean": q_c4_clean,
         "pii_redact": q_pii_redact,
         "embedding_quantize": q_embedding_quantize,
@@ -2038,5 +2117,183 @@ def oracle_sql() -> dict[str, str]:
                )))) * 10000.0)::bigint as prob_q
         from t left join s on t.doc_id = s.doc_id
         order by t.doc_id
+    """
+    # the COMPOSED curate() chain: c4 line cleaning → gopher (on the
+    # cleaned text) → pii redaction → exact-keeper ranking (survivors
+    # outrank dropped copies, then min doc_id) → minhash-LSH pairs over
+    # surviving redacted text → recursive-CTE transitive closure →
+    # neardup/kept conjunction. Each fragment is the already-green
+    # per-stage oracle re-targeted at the upstream stage's output.
+    out["curate_chain"] = f"""
+        with recursive aug as (
+          select doc_id,
+                 replace(text, ' table ', '.' || chr(10) || 'table ')
+                 || ' the end of this record is that we have it with'
+                 || ' others and more of that to be sure of the case'
+                 || ' and the rest of it all.'
+                 || case when doc_id % 7 = 0
+                         then chr(10) || 'Enable javascript today.'
+                         else '' end
+                 || case when doc_id % 11 = 0
+                         then chr(10) || 'lorem ipsum dolor sit amet.'
+                         else '' end
+                 || case when doc_id % 13 = 0
+                         then chr(10) || 'config = {{ }}'
+                         else '' end as text
+          from documents where doc_id < 150
+        ), base as (
+          select doc_id, text from aug
+          union all
+          select doc_id + 1000, text from aug where doc_id % 10 = 0
+          union all
+          select doc_id + 2000,
+                 text || chr(10) || 'zq appendix tail marker sentence.'
+          from aug where doc_id % 10 = 5
+        ), K as (
+          select doc_id, text,
+                 list_filter(string_split(text, chr(10)), l ->
+                   (right(trim(l), 1) in ('.', '!', '?', '"', ''''))
+                   and len(list_filter(
+                         string_split_regex(trim(l), '\\s+'),
+                         t -> len(t) > 0)) >= 3
+                   and not contains(lower(trim(l)), 'javascript')
+                 ) as kept_lines
+          from base
+        ), c4 as (
+          select doc_id,
+                 coalesce(array_to_string(
+                   list_transform(kept_lines, l -> trim(l)), chr(10)),
+                   '') as clean_text,
+                 (len(kept_lines) > 0
+                  and not contains(lower(text), 'lorem ipsum')
+                  and not contains(text, '{{'))::int as c4_keep
+          from K
+        ), g0 as (
+          select doc_id,
+                 clean_text,
+                 list_filter(string_split_regex(clean_text, '\\s+'),
+                             w -> len(w) > 0) as ws,
+                 list_filter(string_split_regex(lower(clean_text),
+                                                '\\s+'),
+                             w -> len(w) > 0) as lws,
+                 list_filter(string_split(clean_text, chr(10)),
+                             ln -> len(trim(ln)) > 0) as glines
+          from c4
+        ), gm as (
+          select doc_id,
+                 len(ws) as n_words,
+                 coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+                   ::double / greatest(len(ws), 1) as mean_word_len,
+                 ((length(clean_text)
+                   - length(replace(clean_text, '#', '')))
+                  + len(regexp_extract_all(clean_text, '\\.\\.\\.|…')))
+                   / greatest(len(ws), 1)::double as symbol_ratio,
+                 len(list_filter(ws,
+                     w -> regexp_matches(w, '[A-Za-z]')))
+                   / greatest(len(ws), 1)::double as alpha_word_frac,
+                 len(list_filter(glines, ln ->
+                     regexp_matches(trim(ln), '^([-*•])')))
+                   / greatest(len(glines), 1)::double as bullet_frac,
+                 len(list_filter(glines, ln ->
+                     regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                   / greatest(len(glines), 1)::double as ell_frac,
+                 (list_contains(lws, 'the')::int
+                  + list_contains(lws, 'be')::int
+                  + list_contains(lws, 'to')::int
+                  + list_contains(lws, 'of')::int
+                  + list_contains(lws, 'and')::int
+                  + list_contains(lws, 'that')::int
+                  + list_contains(lws, 'have')::int
+                  + list_contains(lws, 'with')::int) as stop_hits
+          from g0
+        ), gf as (
+          select doc_id,
+                 coalesce((n_words between 50 and 100000
+                   and mean_word_len between 3.0 and 10.0
+                   and symbol_ratio <= 0.1
+                   and bullet_frac <= 0.9
+                   and ell_frac <= 0.3
+                   and alpha_word_frac >= 0.8
+                   and stop_hits >= 2)::int, 0) as gopher_keep
+          from gm
+        ), pii as (
+          select doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(clean_text,
+                       '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{PII_IPV4_RE}', '<IP>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g') as redacted
+          from c4
+        ), flags as (
+          select c4.doc_id, c4.c4_keep, gf.gopher_keep, pii.redacted
+          from c4
+          join gf on gf.doc_id = c4.doc_id
+          join pii on pii.doc_id = c4.doc_id
+        ), ek as (
+          select *,
+                 (row_number() over (
+                    partition by md5(redacted)
+                    order by (case when c4_keep = 1 and gopher_keep = 1
+                              then 0 else 1 end), doc_id
+                  ) = 1)::int as exact_keeper
+          from flags
+        ), toks as (
+          select doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   lower(redacted), '\\s+', ' ', 'g')), ' '),
+                   t -> len(t) > 0) as tk
+          from ek
+          where c4_keep = 1 and gopher_keep = 1 and exact_keeper = 1
+        ), sh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        ), sigs as (
+          select doc_id,
+            [list_min(list_transform(shingles,
+                                     s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from sh
+        ), bands as (
+          select doc_id, b as band_no,
+                 md5(array_to_string(sig[2*b+1:2*b+2], '|')) as bucket
+          from sigs, unnest([0,1,2,3]) as t(b)
+        ), sized as (
+          select * from bands
+          where (band_no, bucket) in (
+            select (band_no, bucket) from bands
+            group by band_no, bucket having count(*) <= 200)
+        ), prs as (
+          select distinct a.doc_id as u, b.doc_id as v
+          from sized a join sized b
+            on a.band_no = b.band_no and a.bucket = b.bucket
+           and a.doc_id < b.doc_id
+        ), edges as (
+          select u, v from prs union select v, u from prs
+        ), reach as (
+          select u, u as x from (select distinct u from edges)
+          union
+          select r.u, e.v as x from reach r join edges e on r.x = e.u
+        ), lab as (
+          select u as doc_id, min(x) as cluster_id from reach group by u
+        )
+        select ek.doc_id,
+               ek.c4_keep,
+               ek.gopher_keep,
+               1::int as clf_keep,
+               ek.exact_keeper,
+               (case when lab.cluster_id is null
+                      or lab.cluster_id = ek.doc_id
+                then 1 else 0 end)::int as neardup_keep,
+               (ek.c4_keep = 1 and ek.gopher_keep = 1
+                and ek.exact_keeper = 1
+                and (lab.cluster_id is null
+                     or lab.cluster_id = ek.doc_id))::int as kept
+        from ek left join lab on lab.doc_id = ek.doc_id
+        order by ek.doc_id
     """
     return out

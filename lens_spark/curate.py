@@ -56,6 +56,7 @@ def curate(
     c4_min_words: int = 3,
     minhash_hashes: int = 16,
     minhash_bands: int = 4,
+    minhash_hash_fn: str = "xxhash64",
     exactsubstr_k: int | None = None,
     classifier_min: float | None = None,
     classifier_dim: int = 256,
@@ -159,7 +160,9 @@ def curate(
         "__text",
         num_hashes=minhash_hashes,
         bands=minhash_bands,
-        hash_fn="xxhash64",
+        # xxhash64 for production speed; the chain-level driver oracle
+        # passes "md5" so DuckDB computes bit-identical buckets
+        hash_fn=minhash_hash_fn,
     )
     labels = connected_components(pairs).withColumnRenamed(
         "node", id_col
