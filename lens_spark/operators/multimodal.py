@@ -79,14 +79,19 @@ def _stub_embedding(b: bytes) -> list[float]:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Gated decode: PIL when available, else byte-level PNG parse."""
+    """Gated decode: PIL when available, else byte-level PNG parse.
+    BOTH branches read the ``caption`` tEXt metadata (PIL exposes PNG
+    text chunks as ``img.text``) so a production image and this sandbox
+    produce the same row for the same payload."""
     try:  # pragma: no cover - not installed in this sandbox
         import io
 
         from PIL import Image
 
         img = Image.open(io.BytesIO(payload))
-        return {"width": img.width, "height": img.height, "caption": None}
+        caption = getattr(img, "text", {}).get("caption")
+        return {"width": img.width, "height": img.height,
+                "caption": caption}
     except ImportError:
         pass
     w, h = _png_dims(payload)
@@ -94,14 +99,39 @@ def decode_image(payload: bytes) -> dict:
     return {"width": w, "height": h, "caption": caption}
 
 
+# int16 PCM samples per decoded audio chunk (mono): the real-decode
+# twin of the fixture container's frame granularity
+AUDIO_CHUNK_SAMPLES = 4096
+
+
 def decode_audio(payload: bytes) -> list[bytes]:
-    """Audio decode is NOT implemented in-sandbox (no torchaudio/ffmpeg).
-    Fixture-container payloads are unpacked deterministically instead."""
+    """Decode an audio payload into fixed-size chunks of mono int16 PCM
+    bytes. Fixture-container payloads (LENSAV1A) unpack
+    deterministically in-sandbox; anything else takes the GATED real
+    path — torchaudio when installed (load → mean-downmix →
+    int16 PCM → AUDIO_CHUNK_SAMPLES-sample chunks), else
+    NotImplementedError (this container has no torchaudio/ffmpeg)."""
     if payload.startswith(b"LENSAV1A"):
         return list(_walk_frames(payload))
-    raise NotImplementedError(
-        "audio decode requires torchaudio/ffmpeg (not in this container)"
+    try:  # pragma: no cover - not installed in this sandbox
+        import io
+
+        import torch
+        import torchaudio
+    except ImportError as e:
+        raise NotImplementedError(
+            "audio decode requires torchaudio/ffmpeg "
+            "(not in this container)"
+        ) from e
+    wav, _sr = torchaudio.load(io.BytesIO(payload))  # pragma: no cover
+    mono = wav.mean(dim=0)  # pragma: no cover
+    pcm = (  # pragma: no cover
+        (mono.clamp(-1.0, 1.0) * 32767.0)
+        .to(torch.int16).numpy().tobytes()
     )
+    step = AUDIO_CHUNK_SAMPLES * 2  # pragma: no cover
+    return [pcm[i:i + step]  # pragma: no cover
+            for i in range(0, len(pcm), step)]
 
 
 def _walk_frames(payload: bytes) -> Iterator[bytes]:
@@ -209,10 +239,19 @@ def resize_image_row(media_id, payload, width: int, height: int) -> tuple:
             import io
 
             from PIL import Image
+            from PIL.PngImagePlugin import PngInfo
 
-            img = Image.open(io.BytesIO(p)).resize((width, height))
+            img = Image.open(io.BytesIO(p))
+            # carry the caption tEXt chunk through the re-encode, same
+            # as the sandbox fallback — dropping metadata on resize
+            # would make prod and sandbox disagree on a round-trip
+            caption = getattr(img, "text", {}).get("caption")
+            img = img.resize((width, height))
             buf = io.BytesIO()
-            img.save(buf, format="PNG")
+            info = PngInfo()
+            if caption is not None:
+                info.add_text("caption", caption)
+            img.save(buf, format="PNG", pnginfo=info)
             return (media_id, width, height, buf.getvalue(), None)
         except ImportError:
             pass

