@@ -6,14 +6,16 @@ training-ready data):
     spark-submit --py-files lens_spark.zip jobs/curate_job.py \
         <docs.parquet> <out_dir> [--exactsubstr-k K] \
         [--chunk MAX[,OVERLAP]] [--classifier-min P] \
+        [--benchmark eval.parquet] \
         [--id-col doc_id] [--text-col text]
 
 Input: any parquet with an id column and a text column (the synthetic
 ``documents`` table, or an exported ``extract_job`` output). Stages:
 
     curate()  — C4 → Gopher [→ linear quality classifier with
-                --classifier-min] → PII → exact dedup → minhash
-                near-dup keep
+                --classifier-min] [→ test-set decontamination against
+                --benchmark, an (id, text) parquet of eval docs]
+                → PII → exact dedup → minhash near-dup keep
                 [→ ExactSubstr substring deletion with --exactsubstr-k]
     chunking  — optional: split curated docs into ≤MAX-token chunks
                 with OVERLAP shared tokens (--chunk MAX[,OVERLAP])
@@ -50,6 +52,7 @@ def run(
     exactsubstr_k: int | None = None,
     chunk: tuple[int, int] | None = None,
     classifier_min: float | None = None,
+    benchmark=None,
 ) -> dict:
     """Curate ``docs`` into ``out`` and return the report dict.
 
@@ -61,6 +64,7 @@ def run(
         docs, id_col=id_col, text_col=text_col,
         exactsubstr_k=exactsubstr_k,
         classifier_min=classifier_min,
+        benchmark=benchmark,
     )
     final = res.curated
     if chunk is not None:
@@ -113,6 +117,10 @@ def main() -> None:
         classifier_min=(
             float(cm) if (cm := _flag("--classifier-min")) is not None
             else None
+        ),
+        benchmark=(
+            spark.read.parquet(bp)
+            if (bp := _flag("--benchmark")) is not None else None
         ),
     )
     print("CURATE_OK " + json.dumps(report, sort_keys=True))

@@ -3,14 +3,16 @@
 Chains the individually-verified operators into the standard pre-training
 data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
-    c4 line cleaning → gopher quality rules → pii redaction
+    c4 line cleaning → gopher quality rules [→ classifier quality]
+    [→ test-set decontamination (benchmark=)] → pii redaction
     → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
     → language id + quality annotation
     [→ ExactSubstr substring deletion (exactsubstr_k)]
     [→ chunk_documents / pack_sequences downstream]
 
 Design rule: **annotate, don't drop.** Every stage adds columns
-(``c4``, ``gopher_keep``, ``pii``, ``exact_keeper``, ``neardup_keep``)
+(``c4``, ``gopher_keep``, ``clf_keep``, ``decontam_keep``, ``pii``,
+``exact_keeper``, ``neardup_keep``)
 and the final ``kept`` flag conjoins them; ``curated`` is the filtered
 view. This keeps the whole chain ONE logical plan (Catalyst sees through
 it: single scan, the dedup shuffles are the only wide stages), makes
@@ -61,6 +63,9 @@ def curate(
     classifier_min: float | None = None,
     classifier_dim: int = 256,
     classifier_weights: list[int] | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_gram_df: int | None = None,
 ) -> CurateResult:
     """See module docstring. ``exactsubstr_k`` (off by default) appends
     the substring-level stage: every duplicated ≥ k-token window among
@@ -81,7 +86,18 @@ def curate(
     text ≥ threshold. Pass ``classifier_weights`` (a trained,
     WEIGHT_SCALE-quantized vector — see ``load_fasttext_weights``) for a
     real model; the default md5-derived stand-in keeps the execution
-    shape. Map-only Catalyst — adds no shuffle to the chain."""
+    shape. Map-only Catalyst — adds no shuffle to the chain.
+
+    ``benchmark`` (off by default) inserts test-set decontamination
+    after the quality stages: ``decontam_keep`` = 0 for any doc whose
+    CLEANED text shares a ``decontam_n``-gram with the benchmark frame
+    (which must carry the same ``id_col``/``text_col`` columns — GPT-3
+    App. C hygiene; operators/decontam.py). The hit table is small
+    (contamination is rare) so its join-back is AQE-broadcast; the
+    gram-mining side re-derives the cleaned text from the input scan —
+    at 100 TB, checkpoint the cleaned projection first if the second
+    scan matters. ``decontam_max_gram_df`` caps eval-set boilerplate
+    grams (metered; see contamination_hits)."""
     # Stage flags are COALESCED to 0: c4_clean(NULL) yields NULL flags,
     # and a NULL flag would put a null-text doc in NO report bucket
     # (neither dropped_* nor kept — sums skip NULLs), silently violating
@@ -124,6 +140,31 @@ def curate(
         )
     else:
         base = base.withColumn("clf_keep", F.lit(1))
+    if benchmark is not None:
+        from lens_spark.operators.decontam import contamination_hits
+
+        hits = contamination_hits(
+            base.select(
+                F.col(id_col),
+                F.col("c4.clean_text").alias(text_col),
+            ),
+            benchmark,
+            id_col,
+            text_col,
+            n=decontam_n,
+            max_gram_df=decontam_max_gram_df,
+        )
+        # hit table = contaminated docs only (small); AQE broadcasts it
+        base = (
+            base.join(hits, on=id_col, how="left")
+            .withColumn(
+                "decontam_keep",
+                F.when(F.col("n_hits").isNull(), 1).otherwise(0),
+            )
+            .drop("n_hits")
+        )
+    else:
+        base = base.withColumn("decontam_keep", F.lit(1))
     base = base.withColumn("pii", pii_redact(F.col("c4.clean_text")))
 
     # exact dedup: rank within identical redacted-text digests. Docs
@@ -136,6 +177,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("decontam_keep") == 1)
     )
     w = Window.partitionBy(digest).orderBy(
         F.when(early_surv, 0).otherwise(1), F.col(id_col)
@@ -150,6 +192,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("decontam_keep") == 1)
         & (F.col("exact_keeper") == 1)
     )
     pairs = minhash_lsh_pairs(
@@ -185,6 +228,7 @@ def curate(
             (F.col("c4_keep") == 1)
             & (F.col("gopher_keep") == 1)
             & (F.col("clf_keep") == 1)
+            & (F.col("decontam_keep") == 1)
             & (F.col("exact_keeper") == 1)
             & (F.col("neardup_keep") == 1)
         ).cast("int"),
@@ -223,20 +267,26 @@ def curation_report(annotated: DataFrame) -> dict:
     here" count conditions on surviving all earlier stages."""
     c4 = F.col("c4_keep") == 1
     go = F.col("gopher_keep") == 1
-    # tolerate pre-classifier annotated frames (clf stage off == all 1s)
+    # tolerate annotated frames from before a stage existed / with the
+    # stage off (off == all 1s)
     cl = (F.col("clf_keep") == 1) if "clf_keep" in annotated.columns \
         else F.lit(True)
+    dc = (F.col("decontam_keep") == 1) \
+        if "decontam_keep" in annotated.columns else F.lit(True)
     ex = F.col("exact_keeper") == 1
     row = annotated.agg(
         F.count("*").alias("input_docs"),
         F.sum((~c4).cast("long")).alias("dropped_c4"),
         F.sum((c4 & ~go).cast("long")).alias("dropped_gopher"),
         F.sum((c4 & go & ~cl).cast("long")).alias("dropped_classifier"),
-        F.sum((c4 & go & cl & ~ex).cast("long")).alias(
+        F.sum((c4 & go & cl & ~dc).cast("long")).alias(
+            "dropped_decontam"
+        ),
+        F.sum((c4 & go & cl & dc & ~ex).cast("long")).alias(
             "dropped_exact_dup"
         ),
         F.sum(
-            (c4 & go & cl & ex & (F.col("neardup_keep") == 0))
+            (c4 & go & cl & dc & ex & (F.col("neardup_keep") == 0))
             .cast("long")
         ).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),

@@ -41,7 +41,7 @@ def _gram_rows(
     )
 
 
-def contamination_flags(
+def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,
     id_col: str,
@@ -50,13 +50,14 @@ def contamination_flags(
     max_gram_df: int | None = None,
     observation=None,
 ) -> DataFrame:
-    """Corpus docs → (id, n_hits, contaminated).
-
-    ``n_hits`` counts DISTINCT overlapping n-grams (word_shingles
-    already dedups within a doc); ``contaminated`` is the drop flag.
-    Documents shorter than ``n`` words contribute their whole text as
-    one gram (word_shingles' short-doc convention), so a verbatim copy
-    of a short benchmark doc still hits.
+    """Docs WITH overlap only → (id, n_hits) — the small table a caller
+    joins back however fits its plan (curate() left-joins it onto the
+    annotated frame; :func:`contamination_flags` completes it to a
+    full-corpus flag table). ``n_hits`` counts DISTINCT overlapping
+    n-grams (word_shingles already dedups within a doc). Documents
+    shorter than ``n`` words contribute their whole text as one gram
+    (word_shingles' short-doc convention), so a verbatim copy of a
+    short benchmark doc still hits.
 
     ``max_gram_df`` (default None = exact) drops benchmark grams that
     match MORE than that many corpus documents — an eval-set
@@ -93,8 +94,26 @@ def contamination_flags(
         hit_rows = hit_rows.join(
             F.broadcast(keep_grams), on="gram", how="inner"
         )
-    hits = hit_rows.groupBy(id_col).agg(
+    return hit_rows.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_hits")
+    )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_df: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Corpus docs → (id, n_hits, contaminated): the full-corpus flag
+    view of :func:`contamination_hits` (see there for semantics and the
+    ``max_gram_df`` cap)."""
+    hits = contamination_hits(
+        corpus, benchmark, id_col, text_col, n,
+        max_gram_df=max_gram_df, observation=observation,
     )
     return (
         corpus.select(id_col)

@@ -285,3 +285,41 @@ def test_null_text_lands_in_report_bucket(spark):
         + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
         + rep["kept_docs"]
     ) == rep["input_docs"]
+
+
+def test_decontam_stage(spark):
+    """benchmark= inserts test-set decontamination: a doc sharing an
+    8-gram of CLEANED text with the eval set dies with
+    decontam_keep=0, lands in dropped_decontam, and the report still
+    partitions the input."""
+    leak = ("the secret holdout answer is forty two exactly and "
+            "nothing else matters here tonight.")
+    rows = [
+        (1, _GOOD),
+        # passes c4+gopher, then contains the benchmark sentence
+        (2, _GOOD.replace(_LINE, _LINE + " " + leak, 1)),
+        # fails c4 first (lorem) AND contains the leak → must be
+        # counted in dropped_c4, not dropped_decontam (conditioning)
+        (3, "lorem ipsum dolor sit amet. " + leak),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, leak)], "doc_id long, text string"
+    )
+    res = curate(docs, benchmark=bench)
+    flags = {r["doc_id"]: r for r in res.annotated.collect()}
+    assert flags[1]["decontam_keep"] == 1 and flags[1]["kept"] == 1
+    assert flags[2]["decontam_keep"] == 0 and flags[2]["kept"] == 0
+    assert flags[3]["c4_keep"] == 0
+    rep = curation_report(res.annotated)
+    assert rep["dropped_decontam"] == 1
+    assert rep["dropped_c4"] == 1
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_classifier"] + rep["dropped_decontam"]
+        + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
+        + rep["kept_docs"]
+    ) == rep["input_docs"] == 3
+    # stage off → flag constant 1, bucket zero
+    rep_off = curation_report(curate(docs).annotated)
+    assert rep_off["dropped_decontam"] == 0
