@@ -348,6 +348,16 @@ scaling from the sandbox's thread-level throttling, and the 8→32
 series (kept below) documents that throttling rather than any property
 of the plan.
 
+**Claim status (explicit):** the in-sandbox 8→32 shape has never
+demonstrated ≥ 0.8 and is bounded above by the measured host ceiling —
+the pure-CPU spinner itself cannot exceed ~0.65-0.9 at 32 claimed
+cores in any sampled window, so no job on this VM can evidence the
+criterion at that shape. The 4→16 series is therefore the promoted
+headline evidence for the N→4N criterion; the 8→32 series is retained
+as host characterization. On a real multi-executor cluster (machines
+added, not SMT threads), the 4→16 measurement plus the eff/ceiling
+ratios below are the honest predictor of plan scaling.
+
 ## Storm forensics (extract stage, per-run /proc/stat + PSI deltas)
 
 Collapsed 32-core runs are HOST pathology, not the plan and not
