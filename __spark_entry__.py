@@ -215,6 +215,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def q_search_topk_bm25(spark, sf):
+        # Q7 bm25: Okapi BM25 with the Lucene-6+ idf variant — the
+        # modern default ranking a production deployment of the
+        # reference would use. Stats (N, per-term df, avgdl) come from
+        # the operator's one-pass aggregation; the oracle recomputes
+        # them Spark-free over the same parquet and embeds identical
+        # coefficient doubles (idf via the same Python function,
+        # b/avgdl folded to ONE literal on both sides — the
+        # expression-shape convention from the r4 classifier fix).
+        from lens_spark.operators.search import (
+            _bm25_group_score, _bm25_idf, _corpus_term_stats_avgdl,
+        )
+
+        terms = ["merge", "shuffle", "vector"]
+        df = _docs(spark, sf).select(
+            "doc_id", analyze(F.col("text")).alias("tokens")
+        )
+        n_docs, dfs, avgdl = _corpus_term_stats_avgdl(df, terms)
+        idf = {t: _bm25_idf(c, n_docs) for t, c in dfs.items()}
+        score = _bm25_group_score(F.col("tokens"), terms, idf, avgdl)
+        return (
+            df.select(
+                "doc_id", F.round(score, 6).cast("double").alias("score")
+            )
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(100)
+        )
+
     def q_tokenize(spark, sf):
         # Q6 tokenizer: split ' ', drop len<=1, lowercase — exploded
         d = _docs(spark, sf).filter(F.col("doc_id") < 50)
@@ -764,6 +793,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         )
 
+    def q_mixture_weights(spark, sf):
+        # temperature-scaled per-language sampling weights (alpha=0.5,
+        # the multilingual-pretraining exponential-smoothing rule): one
+        # map-side-combinable groupBy over the corpus; the normalize
+        # window runs on the tiny aggregated table (one row per lang)
+        from lens_spark.operators.mixing import mixture_weights
+
+        return mixture_weights(
+            _docs(spark, sf), "lang", alpha=0.5
+        ).orderBy("lang")
+
+    def q_bpe_pair_counts(spark, sf):
+        # adjacent-token-pair frequencies, top-100 — one BPE merge step
+        # (Sennrich et al. 2016). Pair stream built JVM-side; top-k is
+        # TakeOrderedAndProject
+        from lens_spark.operators.mixing import bpe_pair_counts
+
+        return bpe_pair_counts(_docs(spark, sf), "text", top_k=100)
+
     def q_hash_sample(spark, sf):
         # deterministic stratified subsampling — the reproducible way to
         # cut a web-scale corpus (hash of the stable id, not rand()):
@@ -993,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filters": q_search_filters,
         "search_topk": q_search_topk,
         "search_topk_tfidf": q_search_topk_tfidf,
+        "search_topk_bm25": q_search_topk_bm25,
         "tokenize": q_tokenize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash,
@@ -1010,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
         "word_counts": q_word_counts,
+        "mixture_weights": q_mixture_weights,
+        "bpe_pair_counts": q_bpe_pair_counts,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1198,6 +1249,34 @@ def oracle_sql() -> dict[str, str]:
         for t in tfidf_terms
     )
 
+    # bm25 coefficients: same Spark-free stats pass plus avgdl; idf via
+    # the SAME Python function the operator uses, and the length term
+    # folded to the single literal b/avgdl exactly as _bm25_group_score
+    # builds it (identical operation order — the r4 classifier lesson)
+    from lens_spark.operators.search import _bm25_idf
+
+    _bm_stats = _duckdb.sql(f"""
+        with t as (
+          select {analyze_toks} as tk
+          from read_parquet('/root/testdata/sf0.01/documents.parquet')
+        )
+        select count(*), sum(len(tk)), {_df_exprs} from t
+    """).fetchone()
+    _bm_n = int(_bm_stats[0])
+    _bm_avgdl = float(_bm_stats[1] or 0) / max(_bm_n, 1)
+    _bm_idf = {
+        t: _bm25_idf(int(_bm_stats[i + 2] or 0), _bm_n)
+        for i, t in enumerate(tfidf_terms)
+    }
+    _k1, _b = 1.2, 0.75
+    bm25_comp = " + ".join(
+        f"{_bm_idf[t]!r} * "
+        f"(len(list_filter(tk, x -> x = '{t}'))::double * {_k1 + 1.0!r}) / "
+        f"(len(list_filter(tk, x -> x = '{t}'))::double + {_k1!r} * "
+        f"({1.0 - _b!r} + {_b / _bm_avgdl!r} * len(tk)::double))"
+        for t in tfidf_terms
+    )
+
     # simhash band layout: generated from the SAME helper the Spark
     # operator uses (simhash_bands), max_hamming=8 → 9 bands over 60 bits
     from lens_spark.operators.dedup import simhash_bands
@@ -1289,6 +1368,42 @@ def oracle_sql() -> dict[str, str]:
               from t
             ) where score > 0
             order by score desc, doc_id asc limit 100
+        """,
+        "search_topk_bm25": f"""
+            with t as (select doc_id, {analyze_toks} as tk from documents)
+            select * from (
+              select doc_id, round({bm25_comp}, 6)::double as score
+              from t
+            ) where score > 0
+            order by score desc, doc_id asc limit 100
+        """,
+        "mixture_weights": r"""
+            with g as (
+              select lang,
+                     count(*) as n_docs,
+                     sum(len(list_filter(
+                         string_split_regex(text, '\s+'),
+                         t -> len(t) > 0)))::bigint as group_size
+              from documents group by lang
+            )
+            select lang, n_docs, group_size,
+                   round(power(group_size::double, 0.5)
+                         / sum(power(group_size::double, 0.5)) over (),
+                         6)::double as weight
+            from g order by lang
+        """,
+        "bpe_pair_counts": r"""
+            with t as (
+              select list_filter(string_split_regex(text, '\s+'),
+                                 x -> len(x) > 0) as tk
+              from documents
+            ), p as (
+              select tk[i] || ' ' || tk[i + 1] as pair
+              from t, unnest(range(1, len(tk))) as u(i)
+            )
+            select pair, count(*) as pair_count
+            from p group by pair
+            order by pair_count desc, pair asc limit 100
         """,
         "tokenize": """
             with t as (

@@ -90,8 +90,13 @@ class SearchConfig:
     # scorer computes it — sqrt(tf) x idf^2 x queryNorm x fieldNorm —
     # the closest DataFrame analogue of the reference's scores. tfidf
     # needs corpus stats (N + per-term df): ONE extra aggregation pass
-    # per query, driver-collected as literals into the score expression
+    # per query, driver-collected as literals into the score expression.
+    # "bm25": Okapi BM25 with the Lucene-6+ idf variant — the modern
+    # default ranking; same one-pass stats aggregation (plus avgdl)
     scoring: str = "tf"
+    # BM25 free parameters (the standard Robertson/Lucene defaults)
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
 
 
 DEFAULT = ExtractConfig()

@@ -1,0 +1,116 @@
+"""Data-mixing operators for training-corpus assembly.
+
+When a corpus is assembled from heterogeneous sources (Common-Crawl-like
+web text, code, books, per-language slices), training pipelines do not
+sample it uniformly: low-resource groups are upsampled and dominant
+groups downsampled by **temperature scaling** — the exponential
+smoothing rule published for multilingual pretraining (XLM-R /
+mBERT-style: p_s ∝ n_s^alpha with alpha≈0.3-0.7) and used for source
+mixing in LLM data recipes (GPT-3 / The Pile report per-source epoch
+weights chosen the same way).
+
+:func:`mixture_weights` computes those per-group sampling weights from
+the corpus itself. :func:`bpe_pair_counts` is the other
+corpus-assembly statistic: adjacent-token-pair frequencies — one merge
+step of byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+and the standard smell test for corpus composition drift.
+
+Scale shape (the 100 TB contract):
+
+- ``mixture_weights``: one map-side-combinable groupBy over the corpus
+  (partial aggregation pushes the sum to the scan side), then the
+  power/normalize arithmetic runs on the **aggregated** table — one row
+  per group (languages/sources: tens, not billions). The total is a
+  single-partition window over that tiny table, never over the corpus.
+- ``bpe_pair_counts``: tokenize + adjacent-pair explode is map-only;
+  the count is one groupBy (map-side combine collapses repeated pairs
+  inside each partition before the shuffle); top-k is
+  TakeOrderedAndProject, no global sort.
+
+Reference parity: the reference engine has no mixing tier (it indexes
+each doc once, engine/engine.go:144-150); this module is part of the
+training-data tier the repo adds beyond the reference (SURVEY §2 "LLM
+pipeline ops").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from lens_spark.functions.text import ws_tokens
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Per-group temperature-scaled sampling weights.
+
+    Returns one row per group: ``(group, n_docs, group_size, weight)``
+    where ``weight = size^alpha / Σ_g size^alpha`` (quantized to 1e-6 by
+    the repo's float-compare convention). ``alpha=1`` is proportional
+    (natural) sampling, ``alpha=0`` uniform over groups; the published
+    multilingual recipes sit in between.
+
+    ``size_col`` is the per-document size expression to weight by
+    (default: whitespace token count of ``text`` — the "tokens seen in
+    one epoch" measure the recipes use).
+    """
+    if size_col is None:
+        size_col = F.size(ws_tokens(F.col("text"))).cast("long")
+    per_group = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("group_size"),
+    )
+    # post-agg table is one row per group — the empty-frame window's
+    # single-partition exchange moves that tiny relation, not the corpus
+    total = F.sum(F.pow(F.col("group_size").cast("double"), alpha)).over(
+        Window.partitionBy()
+    )
+    return per_group.select(
+        group_col,
+        "n_docs",
+        "group_size",
+        F.round(
+            F.pow(F.col("group_size").cast("double"), alpha) / total, 6
+        ).alias("weight"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    tokens: Column | None = None,
+) -> DataFrame:
+    """Most frequent adjacent token pairs — one BPE merge step.
+
+    Returns the ``top_k`` rows ``(pair, pair_count)`` ordered by count
+    desc then pair asc (deterministic tie-break). ``tokens`` overrides
+    the tokenizer (default: whitespace tokens of ``text_col``).
+
+    The pair stream is built JVM-side: ``transform(sequence(1, len-1),
+    i -> tk[i] || ' ' || tk[i+1])`` then ``explode`` — no Python in the
+    hot path, and the groupBy count gets map-side partial aggregation.
+    """
+    tk = tokens if tokens is not None else ws_tokens(F.col(text_col))
+    from lens_spark.functions.hof import transform_u
+
+    pairs = F.when(
+        F.size(tk) >= 2,
+        transform_u(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_k)
+    )

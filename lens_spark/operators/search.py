@@ -24,10 +24,12 @@ engine/engine.go:172-214) as Catalyst expressions:
   term-frequency ratio; scoring='tfidf' computes Lucene classic
   similarity — sqrt(tf)·idf²·queryNorm·fieldNorm, the formula bleve's
   term scorer implements — from a one-pass corpus-stats aggregation
-  (the index-dictionary lookup bleve does per query). Neither is
-  bit-identical to a given bleve build (the reference treats score as
-  an opaque float, result.go:12-17); ordering among equal scores is
-  doc_id for stability.
+  (the index-dictionary lookup bleve does per query); scoring='bm25'
+  computes Okapi BM25 with the Lucene-6+ idf variant (ln(1+(N−df+0.5)/
+  (df+0.5))) and k1/b length normalization from the same one-pass
+  stats (plus avgdl). None is bit-identical to a given bleve build
+  (the reference treats score as an opaque float, result.go:12-17);
+  ordering among equal scores is doc_id for stability.
 - **Projection** (Q8): all metadata fields except content
   (engine.go:177, index.go:20-26).
 - **Empty result** (Q9): caller checks; `search()` mirrors the engine by
@@ -265,15 +267,30 @@ def _corpus_term_stats(df: DataFrame, terms: list[str]
     the corpus. This is the stat lookup a bleve/Lucene index serves from
     its dictionary; the DataFrame analogue pays one scan per query, so
     it's opt-in (SearchConfig.scoring='tfidf')."""
-    aggs = [F.count("*").alias("__n")] + [
+    n, dfs, _ = _corpus_term_stats_avgdl(df, terms)
+    return n, dfs
+
+
+def _corpus_term_stats_avgdl(
+    df: DataFrame, terms: list[str]
+) -> tuple[int, dict[str, int], float]:
+    """:func:`_corpus_term_stats` plus average document length in tokens
+    (the extra corpus statistic BM25's length normalization needs) —
+    still ONE aggregation pass, one driver row."""
+    aggs = [
+        F.count("*").alias("__n"),
+        F.sum(F.size("tokens").cast("long")).alias("__toks"),
+    ] + [
         F.sum(F.array_contains(F.col("tokens"), t).cast("long"))
         .alias(f"__df_{i}")
         for i, t in enumerate(terms)
     ]
     row = df.agg(*aggs).collect()[0]
-    return int(row["__n"]), {
+    n = int(row["__n"])
+    avgdl = float(row["__toks"] or 0) / max(n, 1)
+    return n, {
         t: int(row[f"__df_{i}"] or 0) for i, t in enumerate(terms)
-    }
+    }, avgdl
 
 
 def _lucene_idf(df_count: int, n_docs: int) -> float:
@@ -306,6 +323,48 @@ def _group_score(tokens_col: Column, group_terms: list[str],
         c = F.sqrt(tf) * F.lit(idf[t] ** 2 * qnorm * boost)
         comp = c if comp is None else comp + c
     return comp * field_norm
+
+
+def _bm25_idf(df_count: int, n_docs: int) -> float:
+    """Okapi BM25 idf, the Lucene BM25Similarity variant (default
+    scorer since Lucene 6 — what a modern bleve/Lucene deployment
+    ranks with): ln(1 + (N - df + 0.5) / (df + 0.5)). Always ≥ 0."""
+    import math
+
+    return math.log(
+        1.0 + (max(n_docs, 1) - df_count + 0.5) / (df_count + 0.5)
+    )
+
+
+def _bm25_group_score(
+    tokens_col: Column,
+    group_terms: list[str],
+    idf: dict[str, float],
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    boost: float = 1.0,
+) -> Column:
+    """BM25 for one should-group: Σ_t idf_t · tf·(k1+1) /
+    (tf + k1·(1 − b + b·|d|/avgdl)). idf/avgdl are driver-side literals
+    (from :func:`_corpus_term_stats_avgdl`), so the whole score is one
+    JVM expression over the stored token column — map-only, no
+    per-query shuffle.
+
+    Expression shape note (ADVICE r4 classifier lesson): the length
+    term multiplies ``dl`` by the single literal ``b/avgdl`` rather
+    than computing ``b·(dl/avgdl)``; any oracle mirroring this score
+    must use the identical operation order or risk 1-ulp drift."""
+    dl = F.size(tokens_col).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b / avgdl) * dl)
+    comp: Column | None = None
+    for t in group_terms:
+        tf = F.size(
+            filter_u(tokens_col, lambda x, t=t: x == t)
+        ).cast("double")
+        c = F.lit(idf[t] * boost) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        comp = c if comp is None else comp + c
+    return comp
 
 
 def _required_terms(required: list[str]) -> list[str]:
@@ -374,18 +433,30 @@ def search(
     qtoks = _analyze_py(q.text, cfg.remove_stop_words) if q.text else []
     terms = _required_terms(q.required)
     idf: dict[str, float] = {}
-    if cfg.scoring == "tfidf" and (qtoks or terms):
-        # one corpus pass for N + df, folded into literals (bleve reads
-        # the same stats from the index dictionary per query)
-        n_docs, dfs = _corpus_term_stats(df, sorted({*qtoks, *terms}))
-        idf = {t: _lucene_idf(c, n_docs) for t, c in dfs.items()}
+    avgdl = 1.0
+    if cfg.scoring in ("tfidf", "bm25") and (qtoks or terms):
+        # one corpus pass for N + df (+ avgdl for bm25), folded into
+        # literals (bleve reads the same stats from the index dictionary
+        # per query)
+        n_docs, dfs, avgdl = _corpus_term_stats_avgdl(
+            df, sorted({*qtoks, *terms})
+        )
+        if cfg.scoring == "bm25":
+            idf = {t: _bm25_idf(c, n_docs) for t, c in dfs.items()}
+        else:
+            idf = {t: _lucene_idf(c, n_docs) for t, c in dfs.items()}
 
     if q.text:
         clauses.append(
             _phrase_clause(F.col("tokens"), q.text, cfg.remove_stop_words)
         )
         if qtoks:
-            if cfg.scoring == "tfidf":
+            if cfg.scoring == "bm25":
+                score = score + _bm25_group_score(
+                    F.col("tokens"), qtoks, idf, avgdl,
+                    k1=cfg.bm25_k1, b=cfg.bm25_b,
+                )
+            elif cfg.scoring == "tfidf":
                 score = score + _group_score(F.col("tokens"), qtoks, idf)
             else:
                 qarr = F.array(*[F.lit(t) for t in qtoks])
@@ -402,7 +473,13 @@ def search(
             )
             clauses.append(hits > 0)
             # boost ×100 (query.go:52)
-            if cfg.scoring == "tfidf":
+            if cfg.scoring == "bm25":
+                score = score + _bm25_group_score(
+                    F.col("tokens"), terms, idf, avgdl,
+                    k1=cfg.bm25_k1, b=cfg.bm25_b,
+                    boost=cfg.required_boost,
+                )
+            elif cfg.scoring == "tfidf":
                 score = score + _group_score(
                     F.col("tokens"), terms, idf, boost=cfg.required_boost
                 )

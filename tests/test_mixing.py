@@ -1,0 +1,76 @@
+"""Data-mixing operators: temperature-scaled sampling weights and
+BPE adjacent-pair counts (operators/mixing.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lens_spark.operators.mixing import bpe_pair_counts, mixture_weights
+
+
+def _docs(spark):
+    rows = [
+        (1, "a b c d", "en"),
+        (2, "a b", "en"),
+        (3, "x y z", "de"),
+        (4, "q", "fr"),          # single token: no pairs
+        (5, "", "fr"),           # empty: no tokens, no pairs
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_mixture_weights_hand_computed(spark):
+    got = {r["lang"]: r for r in mixture_weights(
+        _docs(spark), "lang", alpha=0.5).collect()}
+    sizes = {"en": 6, "de": 3, "fr": 1}
+    total = sum(math.sqrt(s) for s in sizes.values())
+    for lang, size in sizes.items():
+        assert got[lang]["group_size"] == size
+        assert abs(got[lang]["weight"]
+                   - round(math.sqrt(size) / total, 6)) < 1e-9
+    assert got["en"]["n_docs"] == 2
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-5
+
+
+def test_mixture_weights_alpha_extremes(spark):
+    # alpha=1: proportional to size; alpha=0: uniform over groups
+    prop = {r["lang"]: r["weight"] for r in mixture_weights(
+        _docs(spark), "lang", alpha=1.0).collect()}
+    assert abs(prop["en"] - 0.6) < 1e-6 and abs(prop["fr"] - 0.1) < 1e-6
+    unif = {r["lang"]: r["weight"] for r in mixture_weights(
+        _docs(spark), "lang", alpha=0.0).collect()}
+    assert all(abs(w - round(1 / 3, 6)) < 1e-9 for w in unif.values())
+
+
+def test_mixture_weights_smooths_toward_uniform(spark):
+    # 0 < alpha < 1 sits strictly between proportional and uniform for
+    # the dominant group — the whole point of temperature scaling
+    w = {r["lang"]: r["weight"] for r in mixture_weights(
+        _docs(spark), "lang", alpha=0.5).collect()}
+    assert 1 / 3 < w["en"] < 0.6
+    assert 0.1 < w["fr"] < 1 / 3
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    got = {r["pair"]: r["pair_count"]
+           for r in bpe_pair_counts(_docs(spark), "text").collect()}
+    # doc1: (a b)(b c)(c d); doc2: (a b); doc3: (x y)(y z); docs 4-5 none
+    assert got == {"a b": 2, "b c": 1, "c d": 1, "x y": 1, "y z": 1}
+
+
+def test_bpe_pair_counts_topk_deterministic(spark):
+    top = bpe_pair_counts(_docs(spark), "text", top_k=2).collect()
+    assert [(r["pair"], r["pair_count"]) for r in top] == [
+        ("a b", 2), ("b c", 1),  # count desc, then pair asc on the tie
+    ]
+
+
+def test_bpe_pair_counts_custom_tokens(spark):
+    # tokens override: pair stream over a caller-supplied analyzer
+    got = bpe_pair_counts(
+        _docs(spark).filter(F.col("doc_id") == 1), "text",
+        tokens=F.split(F.upper(F.col("text")), " "),
+    ).collect()
+    assert {r["pair"] for r in got} == {"A B", "B C", "C D"}

@@ -153,6 +153,24 @@ def test_pair_ops_are_join_free_single_scan(docs):
     assert s3.python_stages == 0
 
 
+def test_mixing_ops_plan_shape(docs):
+    from lens_spark.operators.mixing import bpe_pair_counts, mixture_weights
+    from lens_spark.plans.inspect import formatted_plan
+
+    # bpe: one shuffle (the pair groupBy, map-side combined), heap top-k
+    q = bpe_pair_counts(docs, "text", top_k=10)
+    assert_max_exchanges(q, 1)
+    assert "TakeOrderedAndProject" in formatted_plan(q)
+    assert plan_stats(q).python_stages == 0
+
+    # mixture: corpus-side agg shuffle + the single-partition window
+    # exchange that moves only the one-row-per-group aggregated table
+    w = mixture_weights(docs, "lang", alpha=0.5)
+    assert_max_exchanges(w, 2)
+    assert plan_stats(w).python_stages == 0
+    assert_pruned_schema(w, "doc_id")  # only lang+text scanned
+
+
 def test_minhash_map_side_parallelism(spark):
     """A single-file (1-partition) input must not serialize the signature
     stage: ensure_parallelism widens narrow scans to 2x cores."""

@@ -168,6 +168,54 @@ def test_tfidf_scoring_matches_hand_computed_lucene(spark):
     assert merge["d2"] > got["d2"]  # rarer term scores higher
 
 
+def test_bm25_scoring_matches_hand_computed(spark):
+    """scoring='bm25' implements Okapi BM25 with the Lucene-6+ idf
+    variant: idf = ln(1+(N−df+0.5)/(df+0.5)), score = Σ idf·tf·(k1+1)/
+    (tf + k1·(1−b+b·dl/avgdl)). Hand-computed on a 3-doc corpus, plus
+    the two ranking properties BM25 exists for: tf saturation and doc-
+    length normalization."""
+    import math
+
+    from lens_spark.config import SearchConfig
+
+    rows = [
+        ("d1", [("text", "spark spark spark spark shuffle", None, 1)],
+         "text/plain", "document", [], "d1", STAMP, "v"),
+        ("d2", [("text", "spark merge", None, 1)],
+         "text/plain", "document", [], "d2", STAMP, "v"),
+        ("d3", [("text", "other words here", None, 1)],
+         "text/plain", "document", [], "d3", STAMP, "v"),
+    ]
+    df = spark.createDataFrame(rows, schema=EXTRACTED)
+    cfg = SearchConfig(scoring="bm25")
+    got = {r["doc_id"]: r["score"]
+           for r in search(df, Query(required=["spark"]), cfg).collect()}
+
+    n, df_t, k1, b = 3, 2, 1.2, 0.75
+    avgdl = (5 + 2 + 3) / 3
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def bm25(tf, dl):
+        return (idf * 100) * (tf * (k1 + 1.0)) / (
+            tf + k1 * ((1.0 - b) + (b / avgdl) * dl)
+        )
+
+    assert set(got) == {"d1", "d2"}
+    assert abs(got["d1"] - bm25(4, 5)) < 1e-9
+    assert abs(got["d2"] - bm25(1, 2)) < 1e-9
+
+    # tf saturation: 4 occurrences score well under 4x one occurrence
+    # at equal length — the k1 asymptote (classic tf has no such bound)
+    assert got["d1"] < 4 * bm25(1, 5)
+    # length normalization: same tf in a longer doc scores lower
+    assert bm25(1, 5) < bm25(1, 2)
+
+    # rare-term property: on d2, 'merge' (df=1) outranks 'spark' (df=2)
+    merge = {r["doc_id"]: r["score"] for r in search(
+        df, Query(required=["merge"]), cfg).collect()}
+    assert merge["d2"] > got["d2"]
+
+
 def test_analyzer_unicode_parity(spark):
     """ADVICE r2: the analyzer is Unicode on BOTH sides — non-ASCII
     letters are word characters ('café' stays whole, not 'caf'), and
