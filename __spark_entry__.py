@@ -812,6 +812,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_pair_counts(_docs(spark, sf), "text", top_k=100)
 
+    def q_lm_perplexity(spark, sf):
+        # CCNet-style LM quality signal (Wenzek et al. 2020): bigram LM
+        # with add-k smoothing self-trained on the corpus, per-doc mean
+        # logprob over quantized-integer terms (exact, order-independent
+        # sums — the classifier.py determinism convention). The oracle
+        # rebuilds the same model in SQL with the identical floor/round
+        # expression shapes.
+        from lens_spark.operators.lm import bigram_lm_scores
+
+        return (
+            bigram_lm_scores(_docs(spark, sf), "doc_id", "text", add_k=0.1)
+            .select("doc_id", "n_bigrams", "sum_lp_q", "avg_logprob")
+            .orderBy("doc_id")
+        )
+
     def q_hash_sample(spark, sf):
         # deterministic stratified subsampling — the reproducible way to
         # cut a web-scale corpus (hash of the stable id, not rand()):
@@ -1061,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "mixture_weights": q_mixture_weights,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "lm_perplexity": q_lm_perplexity,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1404,6 +1420,45 @@ def oracle_sql() -> dict[str, str]:
             select pair, count(*) as pair_count
             from p group by pair
             order by pair_count desc, pair asc limit 100
+        """,
+        "lm_perplexity": r"""
+            with t as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> len(x) > 0) as tk
+              from documents
+            ), uni as (
+              select tok as w1, count(*) as c1
+              from (select unnest(tk) as tok from t) group by 1
+            ), v as (
+              select count(*)::double as v from uni
+            ), big0 as (
+              select doc_id, tk[i] as w1, tk[i] || ' ' || tk[i + 1] as pair
+              from t, unnest(range(1, len(tk))) as u(i)
+            ), bc as (
+              select pair, count(*) as cb from big0 group by pair
+            ), lp as (
+              -- floor(ln(P)*1e6 + 0.5): the operator's quantization,
+              -- identical IEEE operation order
+              select big0.doc_id,
+                     floor(ln((coalesce(bc.cb, 0)::double + 0.1)
+                              / (coalesce(uni.c1, 0)::double + 0.1 * v.v))
+                           * 1000000 + 0.5)::bigint as lp_q
+              from big0 left join bc using(pair)
+                        left join uni using(w1), v
+            ), agg as (
+              select doc_id, count(*) as n_bigrams, sum(lp_q) as sum_lp_q
+              from lp group by doc_id
+            )
+            select t.doc_id,
+                   coalesce(agg.n_bigrams, 0) as n_bigrams,
+                   agg.sum_lp_q,
+                   case when coalesce(agg.n_bigrams, 0) > 0
+                        then round((agg.sum_lp_q::double / 1000000.0)
+                                   / agg.n_bigrams::double, 6)
+                   end as avg_logprob
+            from t left join agg using(doc_id)
+            order by doc_id
         """,
         "tokenize": """
             with t as (

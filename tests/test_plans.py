@@ -171,6 +171,19 @@ def test_mixing_ops_plan_shape(docs):
     assert_pruned_schema(w, "doc_id")  # only lang+text scanned
 
 
+def test_bigram_lm_plan_shape(docs):
+    from lens_spark.operators.lm import bigram_lm_scores
+    from lens_spark.plans.inspect import formatted_plan
+
+    q = bigram_lm_scores(docs.select("doc_id", "text"))
+    # model-count aggs (2) + stream joins + per-doc agg + base join:
+    # bounded exchange budget, no corpus×corpus product, no Python
+    assert_max_exchanges(q, 8)
+    assert plan_stats(q).python_stages == 0
+    p = formatted_plan(q)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
 def test_minhash_map_side_parallelism(spark):
     """A single-file (1-partition) input must not serialize the signature
     stage: ensure_parallelism widens narrow scans to 2x cores."""
