@@ -7,13 +7,16 @@ training-ready data):
         <docs.parquet> <out_dir> [--exactsubstr-k K] \
         [--chunk MAX[,OVERLAP]] [--classifier-min P] \
         [--benchmark eval.parquet] \
+        [--lm-ppl-max X [--lm-train ref.parquet]] \
         [--id-col doc_id] [--text-col text]
 
 Input: any parquet with an id column and a text column (the synthetic
 ``documents`` table, or an exported ``extract_job`` output). Stages:
 
     curate()  — C4 → Gopher [→ linear quality classifier with
-                --classifier-min] [→ test-set decontamination against
+                --classifier-min] [→ CCNet bigram-LM perplexity filter
+                with --lm-ppl-max, trained on --lm-train if given else
+                self-trained] [→ test-set decontamination against
                 --benchmark, an (id, text) parquet of eval docs]
                 → PII → exact dedup → minhash near-dup keep
                 [→ ExactSubstr substring deletion with --exactsubstr-k]
@@ -53,6 +56,8 @@ def run(
     chunk: tuple[int, int] | None = None,
     classifier_min: float | None = None,
     benchmark=None,
+    lm_ppl_max: float | None = None,
+    lm_train=None,
 ) -> dict:
     """Curate ``docs`` into ``out`` and return the report dict.
 
@@ -65,6 +70,8 @@ def run(
         exactsubstr_k=exactsubstr_k,
         classifier_min=classifier_min,
         benchmark=benchmark,
+        lm_ppl_max=lm_ppl_max,
+        lm_train=lm_train,
     )
     final = res.curated
     if chunk is not None:
@@ -121,6 +128,14 @@ def main() -> None:
         benchmark=(
             spark.read.parquet(bp)
             if (bp := _flag("--benchmark")) is not None else None
+        ),
+        lm_ppl_max=(
+            float(pm) if (pm := _flag("--lm-ppl-max")) is not None
+            else None
+        ),
+        lm_train=(
+            spark.read.parquet(lt)
+            if (lt := _flag("--lm-train")) is not None else None
         ),
     )
     print("CURATE_OK " + json.dumps(report, sort_keys=True))

@@ -4,6 +4,7 @@ Chains the individually-verified operators into the standard pre-training
 data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
     c4 line cleaning → gopher quality rules [→ classifier quality]
+    [→ LM perplexity filter (lm_ppl_max=, the CCNet stage)]
     [→ test-set decontamination (benchmark=)] → pii redaction
     → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
     → language id + quality annotation
@@ -11,8 +12,8 @@ data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
     [→ chunk_documents / pack_sequences downstream]
 
 Design rule: **annotate, don't drop.** Every stage adds columns
-(``c4``, ``gopher_keep``, ``clf_keep``, ``decontam_keep``, ``pii``,
-``exact_keeper``, ``neardup_keep``)
+(``c4``, ``gopher_keep``, ``clf_keep``, ``lm_keep``, ``decontam_keep``,
+``pii``, ``exact_keeper``, ``neardup_keep``)
 and the final ``kept`` flag conjoins them; ``curated`` is the filtered
 view. This keeps the whole chain ONE logical plan (Catalyst sees through
 it: single scan, the dedup shuffles are the only wide stages), makes
@@ -66,6 +67,10 @@ def curate(
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_max_gram_df: int | None = None,
+    lm_ppl_max: float | None = None,
+    lm_train: DataFrame | None = None,
+    lm_add_k: float = 0.1,
+    lm_min_count: int = 1,
 ) -> CurateResult:
     """See module docstring. ``exactsubstr_k`` (off by default) appends
     the substring-level stage: every duplicated ≥ k-token window among
@@ -97,7 +102,19 @@ def curate(
     gram-mining side re-derives the cleaned text from the input scan —
     at 100 TB, checkpoint the cleaned projection first if the second
     scan matters. ``decontam_max_gram_df`` caps eval-set boilerplate
-    grams (metered; see contamination_hits)."""
+    grams (metered; see contamination_hits).
+
+    ``lm_ppl_max`` (off by default) inserts the CCNet perplexity stage
+    (Wenzek et al. 2020) after the classifier: ``lm_keep`` = bigram-LM
+    perplexity of the cleaned text ≤ threshold. The model trains on
+    ``lm_train`` if given (CCNet's setup: a clean reference corpus —
+    lower perplexity = more reference-like) else on the input corpus
+    itself. Unscorable docs (< 2 tokens / null text) get lm_keep = 0 —
+    explicitly dropped at this stage, not silently lost. Cost when
+    enabled: the two vocab-sized count aggregations plus a per-doc
+    score join-back (shuffle on ``id_col``) — the one optional stage
+    that is not map-only, documented accordingly; like decontam, it
+    re-derives cleaned text from the input scan."""
     # Stage flags are COALESCED to 0: c4_clean(NULL) yields NULL flags,
     # and a NULL flag would put a null-text doc in NO report bucket
     # (neither dropped_* nor kept — sums skip NULLs), silently violating
@@ -140,6 +157,35 @@ def curate(
         )
     else:
         base = base.withColumn("clf_keep", F.lit(1))
+    if lm_ppl_max is not None:
+        from lens_spark.operators.lm import bigram_lm_scores
+
+        scores = bigram_lm_scores(
+            base.select(
+                F.col(id_col), F.col("c4.clean_text").alias(text_col)
+            ),
+            id_col,
+            text_col,
+            add_k=lm_add_k,
+            train=(
+                lm_train.select(F.col(text_col))
+                if lm_train is not None else None
+            ),
+            min_count=lm_min_count,
+        ).select(id_col, "perplexity")
+        base = (
+            base.join(scores, on=id_col, how="left")
+            .withColumn(
+                "lm_keep",
+                F.coalesce(
+                    (F.col("perplexity") <= lm_ppl_max).cast("int"),
+                    F.lit(0),
+                ),
+            )
+            .drop("perplexity")
+        )
+    else:
+        base = base.withColumn("lm_keep", F.lit(1))
     if benchmark is not None:
         from lens_spark.operators.decontam import contamination_hits
 
@@ -177,6 +223,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
     )
     w = Window.partitionBy(digest).orderBy(
@@ -192,6 +239,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
         & (F.col("exact_keeper") == 1)
     )
@@ -228,6 +276,7 @@ def curate(
             (F.col("c4_keep") == 1)
             & (F.col("gopher_keep") == 1)
             & (F.col("clf_keep") == 1)
+            & (F.col("lm_keep") == 1)
             & (F.col("decontam_keep") == 1)
             & (F.col("exact_keeper") == 1)
             & (F.col("neardup_keep") == 1)
@@ -271,6 +320,8 @@ def curation_report(annotated: DataFrame) -> dict:
     # stage off (off == all 1s)
     cl = (F.col("clf_keep") == 1) if "clf_keep" in annotated.columns \
         else F.lit(True)
+    lm = (F.col("lm_keep") == 1) if "lm_keep" in annotated.columns \
+        else F.lit(True)
     dc = (F.col("decontam_keep") == 1) \
         if "decontam_keep" in annotated.columns else F.lit(True)
     ex = F.col("exact_keeper") == 1
@@ -279,14 +330,15 @@ def curation_report(annotated: DataFrame) -> dict:
         F.sum((~c4).cast("long")).alias("dropped_c4"),
         F.sum((c4 & ~go).cast("long")).alias("dropped_gopher"),
         F.sum((c4 & go & ~cl).cast("long")).alias("dropped_classifier"),
-        F.sum((c4 & go & cl & ~dc).cast("long")).alias(
+        F.sum((c4 & go & cl & ~lm).cast("long")).alias("dropped_lm"),
+        F.sum((c4 & go & cl & lm & ~dc).cast("long")).alias(
             "dropped_decontam"
         ),
-        F.sum((c4 & go & cl & dc & ~ex).cast("long")).alias(
+        F.sum((c4 & go & cl & lm & dc & ~ex).cast("long")).alias(
             "dropped_exact_dup"
         ),
         F.sum(
-            (c4 & go & cl & dc & ex & (F.col("neardup_keep") == 0))
+            (c4 & go & cl & lm & dc & ex & (F.col("neardup_keep") == 0))
             .cast("long")
         ).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),

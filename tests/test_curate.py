@@ -323,3 +323,43 @@ def test_decontam_stage(spark):
     # stage off → flag constant 1, bucket zero
     rep_off = curation_report(curate(docs).annotated)
     assert rep_off["dropped_decontam"] == 0
+
+
+def test_lm_perplexity_stage(spark):
+    """lm_ppl_max= inserts the CCNet stage: against a reference-trained
+    bigram LM, an out-of-domain doc (all bigrams unseen) dies with
+    lm_keep=0 in dropped_lm; an in-domain doc survives; a doc that
+    fails c4 first is counted there (conditioning)."""
+    # gopher-passing but vocabulary disjoint from the reference corpus
+    alien = "\n".join(
+        ["a big shiny table sits with the warm lamp tonight."] * 6
+    )
+    rows = [
+        (1, _GOOD),                                   # in-domain
+        (2, alien),                                   # out-of-domain
+        (3, "lorem ipsum dolor sit amet. " + alien),  # dies at c4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame([(100, _GOOD)], "doc_id long, text string")
+
+    res = curate(docs, lm_ppl_max=5.0, lm_train=ref)
+    flags = {r["doc_id"]: r for r in res.annotated.collect()}
+    assert flags[1]["lm_keep"] == 1 and flags[1]["kept"] == 1
+    assert flags[2]["lm_keep"] == 0 and flags[2]["kept"] == 0
+    assert flags[3]["c4_keep"] == 0
+
+    rep = curation_report(res.annotated)
+    assert rep["dropped_lm"] == 1
+    assert rep["dropped_c4"] == 1
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_classifier"] + rep["dropped_lm"]
+        + rep["dropped_decontam"] + rep["dropped_exact_dup"]
+        + rep["dropped_near_dup"] + rep["kept_docs"]
+    ) == rep["input_docs"] == 3
+
+    # self-trained (no lm_train): the repeated in-domain text dominates
+    # the model, so doc 1 must still outrank doc 2 under any threshold
+    # between their perplexities; stage off → bucket zero
+    rep_off = curation_report(curate(docs).annotated)
+    assert rep_off["dropped_lm"] == 0
