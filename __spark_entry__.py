@@ -827,6 +827,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_lm_ppl_buckets(spark, sf):
+        # CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
+        # corpus-percentile bucketing on the deterministic avg_logprob
+        # (exact percentile ↔ quantile_cont, the corpus_stats parity
+        # precedent; cut probabilities are the same Python doubles on
+        # both sides)
+        from lens_spark.operators.lm import perplexity_buckets
+
+        return perplexity_buckets(
+            _docs(spark, sf), "doc_id", "text", add_k=0.1
+        ).orderBy("doc_id")
+
     def q_hash_sample(spark, sf):
         # deterministic stratified subsampling — the reproducible way to
         # cut a web-scale corpus (hash of the stable id, not rand()):
@@ -1077,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
+        "lm_ppl_buckets": q_lm_ppl_buckets,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1302,6 +1315,47 @@ def oracle_sql() -> dict[str, str]:
         for i, (off, w) in enumerate(simhash_bands(8))
     )
 
+    # bigram-LM model + per-doc quantized mean logprob (shared by the
+    # lm_perplexity and lm_ppl_buckets rows): floor(ln(P)*1e6 + 0.5) —
+    # the operator's quantization with identical IEEE operation order
+    lm_scored_cte = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             x -> len(x) > 0) as tk
+          from documents
+        ), uni as (
+          select tok as w1, count(*) as c1
+          from (select unnest(tk) as tok from t) group by 1
+        ), v as (
+          select count(*)::double as v from uni
+        ), big0 as (
+          select doc_id, tk[i] as w1, tk[i] || ' ' || tk[i + 1] as pair
+          from t, unnest(range(1, len(tk))) as u(i)
+        ), bc as (
+          select pair, count(*) as cb from big0 group by pair
+        ), lp as (
+          select big0.doc_id,
+                 floor(ln((coalesce(bc.cb, 0)::double + 0.1)
+                          / (coalesce(uni.c1, 0)::double + 0.1 * v.v))
+                       * 1000000 + 0.5)::bigint as lp_q
+          from big0 left join bc using(pair)
+                    left join uni using(w1), v
+        ), agg as (
+          select doc_id, count(*) as n_bigrams, sum(lp_q) as sum_lp_q
+          from lp group by doc_id
+        ), scored as (
+          select t.doc_id,
+                 coalesce(agg.n_bigrams, 0) as n_bigrams,
+                 agg.sum_lp_q,
+                 case when coalesce(agg.n_bigrams, 0) > 0
+                      then round((agg.sum_lp_q::double / 1000000.0)
+                                 / agg.n_bigrams::double, 6)
+                 end as avg_logprob
+          from t left join agg using(doc_id)
+        )
+    """
+
     out = {
         "mime_sniff": """
             select doc_id,
@@ -1421,44 +1475,22 @@ def oracle_sql() -> dict[str, str]:
             from p group by pair
             order by pair_count desc, pair asc limit 100
         """,
-        "lm_perplexity": r"""
-            with t as (
-              select doc_id,
-                     list_filter(string_split_regex(text, '\s+'),
-                                 x -> len(x) > 0) as tk
-              from documents
-            ), uni as (
-              select tok as w1, count(*) as c1
-              from (select unnest(tk) as tok from t) group by 1
-            ), v as (
-              select count(*)::double as v from uni
-            ), big0 as (
-              select doc_id, tk[i] as w1, tk[i] || ' ' || tk[i + 1] as pair
-              from t, unnest(range(1, len(tk))) as u(i)
-            ), bc as (
-              select pair, count(*) as cb from big0 group by pair
-            ), lp as (
-              -- floor(ln(P)*1e6 + 0.5): the operator's quantization,
-              -- identical IEEE operation order
-              select big0.doc_id,
-                     floor(ln((coalesce(bc.cb, 0)::double + 0.1)
-                              / (coalesce(uni.c1, 0)::double + 0.1 * v.v))
-                           * 1000000 + 0.5)::bigint as lp_q
-              from big0 left join bc using(pair)
-                        left join uni using(w1), v
-            ), agg as (
-              select doc_id, count(*) as n_bigrams, sum(lp_q) as sum_lp_q
-              from lp group by doc_id
+        "lm_perplexity": lm_scored_cte + """
+            select doc_id, n_bigrams, sum_lp_q, avg_logprob
+            from scored order by doc_id
+        """,
+        "lm_ppl_buckets": lm_scored_cte + f"""
+            , cutz as (
+              select quantile_cont(avg_logprob, {1.0 - 2.0 / 3.0!r}) as lo,
+                     quantile_cont(avg_logprob, {1.0 - 1.0 / 3.0!r}) as hi
+              from scored
             )
-            select t.doc_id,
-                   coalesce(agg.n_bigrams, 0) as n_bigrams,
-                   agg.sum_lp_q,
-                   case when coalesce(agg.n_bigrams, 0) > 0
-                        then round((agg.sum_lp_q::double / 1000000.0)
-                                   / agg.n_bigrams::double, 6)
-                   end as avg_logprob
-            from t left join agg using(doc_id)
-            order by doc_id
+            select s.doc_id, s.n_bigrams, s.avg_logprob,
+                   case when s.avg_logprob is null then 'unscored'
+                        when s.avg_logprob > c.hi then 'head'
+                        when s.avg_logprob > c.lo then 'middle'
+                        else 'tail' end as bucket
+            from scored s, cutz c order by s.doc_id
         """,
         "tokenize": """
             with t as (

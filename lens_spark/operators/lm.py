@@ -144,3 +144,49 @@ def bigram_lm_scores(
         .alias("avg_logprob"),
         F.when(F.col("n_bigrams") > 0, F.exp(-avg)).alias("perplexity"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    **lm_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by corpus-level
+    perplexity percentiles (Wenzek et al. 2020 §4.4 — CCNet releases
+    each language shard split into the lowest-, middle-, and highest-
+    perplexity thirds; training recipes then sample mostly from the
+    head).
+
+    Returns ``(id, n_bigrams, avg_logprob, bucket)`` with bucket ∈
+    head / middle / tail / unscored. Bucketing compares
+    **avg_logprob** (deterministic, see :func:`bigram_lm_scores`) —
+    perplexity is exp(−avg_logprob), so high avg_logprob = low
+    perplexity = head; the cut points are exact corpus percentiles of
+    avg_logprob at ``1−cuts[1]`` and ``1−cuts[0]`` (driver-collected
+    literals, one extra aggregation pass — the idf-stats precedent).
+    Unscorable docs (< 2 tokens) are labeled, never dropped.
+
+    Scale: exact ``percentile`` buffers the score column once; at
+    100 TB switch to ``approx_percentile`` (t-digest, mergeable) — the
+    corpus_stats trade, documented there too.
+    """
+    scored = bigram_lm_scores(df, id_col, text_col, **lm_kwargs)
+    lo_q, hi_q = sorted(cuts)
+    row = scored.agg(
+        # ppl ascending == avg_logprob descending: the ppl lo_q-quantile
+        # is the avg_logprob (1-lo_q)-quantile
+        F.percentile(F.col("avg_logprob"), F.lit(1.0 - hi_q)).alias("lo"),
+        F.percentile(F.col("avg_logprob"), F.lit(1.0 - lo_q)).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    bucket = (
+        F.when(F.col("avg_logprob").isNull(), "unscored")
+        .when(F.col("avg_logprob") > F.lit(hi), "head")
+        .when(F.col("avg_logprob") > F.lit(lo), "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        id_col, "n_bigrams", "avg_logprob", bucket.alias("bucket")
+    )

@@ -67,6 +67,29 @@ def test_bigram_lm_train_corpus_and_pruning(spark):
     assert got[10]["perplexity"] < got[11]["perplexity"]
 
 
+def test_perplexity_buckets_ccnet_split(spark):
+    from lens_spark.operators.lm import perplexity_buckets
+
+    # 9 scorable docs in three distinct perplexity classes (in-domain
+    # repeats, mixed, alien vocabulary) + 1 unscorable
+    common = "the cat sat on the mat and the dog ran off today."
+    rows = (
+        [(i, common) for i in range(3)]
+        + [(i, common + " some rarer words appear here too.")
+           for i in range(10, 13)]
+        + [(i, f"zz{i} qq{i} xx{i} vv{i} ww{i} uu{i}")
+           for i in range(20, 23)]
+        + [(30, "one")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(df).collect()}
+    assert got[30] == "unscored"
+    assert all(got[i] == "head" for i in range(3))
+    assert all(got[i] == "middle" for i in range(10, 13))
+    assert all(got[i] == "tail" for i in range(20, 23))
+
+
 def test_bigram_lm_executor_count_invariance(spark):
     # the quantized-integer sum is partition-layout independent
     rows = [(i, f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 5}")
