@@ -827,6 +827,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_line_dedup(spark, sf):
+        # corpus-level exact line dedup (the C4 §2.2 line rule /
+        # RefinedWeb-Dolma exact line dedup): derived multi-line corpus
+        # with a boilerplate line planted in EVERY doc (and a second in
+        # every 5th) — keep_first leaves exactly one corpus-global copy
+        from lens_spark.operators.dedup import dedup_lines
+
+        aug = F.concat(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable ")),
+            F.lit("\ncookie notice accept all cookies"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nsubscribe to our newsletter now"),
+            ).otherwise(F.lit("")),
+        )
+        src = _docs(spark, sf).select("doc_id", aug.alias("text"))
+        return dedup_lines(src, "doc_id", "text").orderBy("doc_id")
+
     def q_lm_ppl_buckets(spark, sf):
         # CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
         # corpus-percentile bucketing on the deterministic avg_logprob
@@ -1090,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
+        "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1474,6 +1493,44 @@ def oracle_sql() -> dict[str, str]:
             select pair, count(*) as pair_count
             from p group by pair
             order by pair_count desc, pair asc limit 100
+        """,
+        "line_dedup": r"""
+            with src as (
+              select doc_id,
+                     replace(text, ' table ', chr(10) || 'table ')
+                     || chr(10) || 'cookie notice accept all cookies'
+                     || case when doc_id % 5 = 0
+                             then chr(10) || 'subscribe to our newsletter now'
+                             else '' end as text
+              from documents
+            ), lines as (
+              select doc_id, i - 1 as pos, ln[i] as line
+              from (select doc_id, string_split(text, chr(10)) as ln
+                    from src),
+                   unnest(range(1, len(ln) + 1)) as u(i)
+            ), stats as (
+              select line, count(*) as cnt,
+                     min(struct_pack(i := doc_id, p := pos)) as frst
+              from lines group by line
+            ), marked as (
+              select l.doc_id, l.pos, l.line,
+                     case when len(l.line) >= 1 and s.cnt >= 2
+                               and not (s.frst.i = l.doc_id
+                                        and s.frst.p = l.pos)
+                          then 1 else 0 end as rm
+              from lines l join stats s using(line)
+            ), reb as (
+              select doc_id,
+                     string_agg(case when rm = 0 then line end,
+                                chr(10) order by pos) as clean,
+                     sum(rm)::bigint as n_removed_lines
+              from marked group by doc_id
+            )
+            select s.doc_id,
+                   coalesce(r.clean, '') as text,
+                   coalesce(r.n_removed_lines, 0) as n_removed_lines
+            from src s left join reb r using(doc_id)
+            order by doc_id
         """,
         "lm_perplexity": lm_scored_cte + """
             select doc_id, n_bigrams, sum_lp_q, avg_logprob

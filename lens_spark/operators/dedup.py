@@ -819,3 +819,97 @@ def remove_duplicate_spans(
         ],
         removed.alias("n_removed_tokens"),
     )
+
+
+# ------------------------------------------------ corpus-level line dedup
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_first: bool = True,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level exact line deduplication — the C4 line rule
+    (Raffel et al. 2020 §2.2 "we removed all but one of any
+    three-sentence span occurring more than once", implemented at line
+    granularity by the released C4 code, and by RefinedWeb / Dolma as
+    exact line dedup). Distinct from :func:`~lens_spark.functions.text.
+    c4_clean`, which applies PER-LINE quality rules with no cross-
+    document state.
+
+    Every line (split on ``\\n``) occurring more than once ANYWHERE in
+    the corpus is removed from every document except — with
+    ``keep_first=True`` (default) — its corpus-global first occurrence
+    (min ``(id, pos)``, the duplicate_spans keep-first convention).
+    ``keep_first=False`` removes every copy (the stricter variant).
+    Lines shorter than ``min_line_chars`` are structural (blank lines,
+    list bullets) and exempt — set 0 for pure semantics.
+
+    Returns the input columns with ``text_col`` rebuilt (kept lines,
+    original order, ``\\n``-joined; null text stays null; a doc whose
+    every line was removed becomes the empty string — present, never
+    silently dropped) plus ``n_removed_lines``.
+
+    100 TB shape: one map-side-combinable aggregation over the exploded
+    line stream (count + min-(id,pos) — row granularity, so a
+    boilerplate line shared by millions of docs costs rows in ONE
+    count, not memory); one equi-join of the stream against that
+    line-keyed stats table (AQE skew-join handles hot boilerplate
+    lines); one doc-keyed rebuild bounded by each doc's own line count;
+    one join back to the input. No collect, no cartesian.
+
+    The reference engine has no corpus-dedup tier (engine/engine.go
+    indexes docs independently); training-data layer addition.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    stats = lines.groupBy("line").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("__first"),
+    )
+    joined = lines.join(stats, "line", "left")
+    dup = (F.length("line") >= min_line_chars) & (F.col("__cnt") >= 2)
+    if keep_first:
+        removed = dup & ~(
+            (F.col("__first.i") == F.col(id_col))
+            & (F.col("__first.p") == F.col("pos"))
+        )
+    else:
+        removed = dup
+    rebuilt = (
+        joined.withColumn("__rm", removed.cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                transform_u(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rm") == 0,
+                                F.struct(F.col("pos").alias("p"),
+                                         F.col("line").alias("l")),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+            ).alias("__clean"),
+            F.sum("__rm").cast("long").alias("n_removed_lines"),
+        )
+    )
+    out = df.join(rebuilt, id_col, "left")
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.coalesce(F.col("__clean"), F.lit("")))
+    return out.select(
+        *[
+            clean.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ],
+        F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
+        .alias("n_removed_lines"),
+    )

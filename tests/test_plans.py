@@ -171,6 +171,21 @@ def test_mixing_ops_plan_shape(docs):
     assert_pruned_schema(w, "doc_id")  # only lang+text scanned
 
 
+def test_dedup_lines_plan_shape(docs):
+    from lens_spark.operators.dedup import dedup_lines
+
+    q = dedup_lines(docs.select("doc_id", "text"), "doc_id", "text")
+    # line-stats agg + stream join + doc rebuild + input join-back:
+    # bounded, no cartesian, no Python
+    assert_max_exchanges(q, 6)
+    s = plan_stats(q)
+    assert s.python_stages == 0
+    from lens_spark.plans.inspect import formatted_plan
+
+    p = formatted_plan(q)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
 def test_bigram_lm_plan_shape(docs):
     from lens_spark.operators.lm import bigram_lm_scores
     from lens_spark.plans.inspect import formatted_plan

@@ -759,3 +759,43 @@ def test_chunk_documents_no_shuffle(spark):
     s = plan_stats(chunk_documents(df, "id", "text", max_tokens=32))
     assert s.exchanges == 0, "chunking must be map-only"
     assert s.python_stages == 0
+
+
+def test_dedup_lines_keep_first(spark):
+    from lens_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "unique one\nboiler plate line\nunique two"),
+        (2, "boiler plate line\nother text here"),
+        (3, "boiler plate line"),
+        (4, ""),        # single empty line: structural, exempt
+        (5, None),      # null text stays null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(
+        df, "doc_id", "text").collect()}
+    # corpus-global first occurrence (doc 1, pos 1) survives; others go
+    assert got[1]["text"] == "unique one\nboiler plate line\nunique two"
+    assert got[2]["text"] == "other text here"
+    assert got[2]["n_removed_lines"] == 1
+    # a doc whose every line was removed is PRESENT as empty string
+    assert got[3]["text"] == "" and got[3]["n_removed_lines"] == 1
+    assert got[4]["text"] == "" and got[4]["n_removed_lines"] == 0
+    assert got[5]["text"] is None and got[5]["n_removed_lines"] == 0
+
+
+def test_dedup_lines_drop_all_and_exemption(spark):
+    from lens_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "dup line here\nkeep me"),
+        (2, "dup line here\nx\nme too"),
+        (3, "x"),  # 1-char line: duplicated but exempt at min 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(
+        df, "doc_id", "text", keep_first=False, min_line_chars=2
+    ).collect()}
+    assert got[1]["text"] == "keep me"       # every copy removed
+    assert got[2]["text"] == "x\nme too"
+    assert got[3]["text"] == "x" and got[3]["n_removed_lines"] == 0
