@@ -285,6 +285,34 @@ class LensTable:
             buckets.update(self._write_bucketed(remaining, key))
         return self._commit(self._new_manifest(buckets, []))
 
+    def compact(self, spark: SparkSession, key: str | None = None,
+                target_partitions: int | None = None) -> str | None:
+        """Maintenance: rewrite the table's live data into one fresh
+        layout and commit it as a new snapshot — Iceberg's
+        ``rewrite_data_files`` (bin-packing compaction). An append-heavy
+        table accumulates one data dir per increment (each with its own
+        small files); at scan time that is many tiny parquet footers and
+        row groups — the classic small-files tax. Row-identical by
+        construction; the previous snapshot stays readable under the
+        retention GC, so in-flight readers are undisturbed
+        (single-writer assumption, same as every other commit here).
+
+        ``key`` rewrites into the hash-bucketed layout (subsequent
+        merge/delete increments prune); otherwise a plain layout,
+        coalesced to ``target_partitions`` files when given.
+        """
+        man = self._manifest()
+        if man is None:
+            return None
+        cur = spark.read.parquet(*self._dirs(man))
+        if key is not None:
+            return self._commit(
+                self._new_manifest(self._write_bucketed(cur, key), [])
+            )
+        if target_partitions is not None:
+            cur = cur.repartition(target_partitions)
+        return self._commit(self._new_manifest({}, [self._write_plain(cur)]))
+
 
 # --------------------------------------------------------------- Iceberg
 def iceberg_available(spark: SparkSession,
@@ -389,6 +417,25 @@ class IcebergTable:
         spark.sql(
             f"DELETE FROM {self.identifier} WHERE {key} IN ({in_list})"
         )
+        return self.current_snapshot()
+
+    @staticmethod
+    def compact_sql(identifier: str) -> str:
+        """The rewrite_data_files CALL (exposed for jar-less testing):
+        Iceberg's bin-packing small-file compaction procedure."""
+        catalog, table = identifier.split(".", 1)
+        return (
+            f"CALL {catalog}.system.rewrite_data_files("
+            f"table => '{table}')"
+        )
+
+    def compact(self, spark: SparkSession, key: str | None = None,
+                target_partitions: int | None = None) -> str | None:
+        """Iceberg-native compaction via the rewrite_data_files
+        procedure (``key``/``target_partitions`` are LensTable-layout
+        knobs with no Iceberg analogue here — binning is the
+        procedure's own job)."""
+        spark.sql(self.compact_sql(self.identifier))
         return self.current_snapshot()
 
 

@@ -271,3 +271,66 @@ def test_iceberg_gate(spark, tmp_path):
     assert "MERGE INTO lens.db.extracted t USING src s" in sql
     assert "WHEN MATCHED THEN UPDATE SET t.doc_id = s.doc_id, t.v = s.v" in sql
     assert "WHEN NOT MATCHED THEN INSERT (doc_id, v) VALUES (s.doc_id, s.v)" in sql
+
+
+def test_compact_plain_preserves_rows(spark, tmp_path):
+    """compact(): the rewrite_data_files analogue — N append increments
+    collapse to one data dir in a NEW snapshot, rows identical, and the
+    previous snapshot's files survive the retention GC (in-flight
+    readers undisturbed)."""
+    import glob
+
+    t = LensTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            [(f"d{i}-{j}", i) for j in range(3)], "doc_id string, v int"))
+    assert t.read_bucket_dirs() == 4
+    before = sorted(r["doc_id"] for r in t.read(spark).collect())
+    prev_files = t._dirs(t._manifest())
+    snap_before = t.current_snapshot()
+
+    snap = t.compact(spark, target_partitions=1)
+    assert snap != snap_before
+    assert t.read_bucket_dirs() == 1
+    after = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert after == before
+    # single output file (+ _SUCCESS) — the small-files tax is gone
+    new_dir = t._dirs(t._manifest())[0]
+    assert len(glob.glob(f"{new_dir}/part-*.parquet")) == 1
+    # previous snapshot's data retained (retain_snapshots=2 default)
+    for d in prev_files:
+        assert glob.glob(f"{d}/part-*.parquet")
+
+
+def test_compact_bucketed_enables_pruned_merge(spark, tmp_path):
+    t = LensTable(str(tmp_path / "t"), num_buckets=8)
+    for i in range(3):
+        t.append(spark.createDataFrame(
+            [(f"d{i}-{j}", i) for j in range(4)], "doc_id string, v int"))
+    t.compact(spark, key="doc_id")
+    man = t._manifest()
+    assert man["extra"] == [] and man["buckets"]
+    before = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+    # a 1-key merge now rewrites only that key's bucket
+    dirs_before = dict(man["buckets"])
+    t.merge_upsert(
+        spark.createDataFrame([("d0-0", 99)], "doc_id string, v int"),
+        "doc_id",
+    )
+    man2 = t._manifest()
+    untouched = sum(
+        1 for b, rel in man2["buckets"].items()
+        if dirs_before.get(b) == rel
+    )
+    assert untouched >= len(dirs_before) - 1
+    after = {r["doc_id"]: r["v"] for r in t.read(spark).collect()}
+    before["d0-0"] = 99
+    assert after == before
+
+
+def test_iceberg_compact_sql_shape():
+    from lens_spark.sources.tables import IcebergTable
+
+    sql = IcebergTable.compact_sql("lens.db.extracted")
+    assert sql == ("CALL lens.system.rewrite_data_files("
+                   "table => 'db.extracted')")
