@@ -845,6 +845,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = _docs(spark, sf).select("doc_id", aug.alias("text"))
         return dedup_lines(src, "doc_id", "text").orderBy("doc_id")
 
+    def q_encoding_flags(spark, sf):
+        # ftfy-lite encoding hygiene (functions/text.py): CP1252
+        # mojibake + U+FFFD detection over a corpus with artifacts
+        # planted deterministically (every 7th doc a mojibake café +
+        # curly quote, every 11th a replacement char)
+        from lens_spark.functions.text import encoding_quality
+
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" cafÃ© â€œmenu")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" bad�char")
+            ).otherwise(F.lit("")),
+        )
+        q = encoding_quality(aug)
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                q["n_replacement"].alias("n_replacement"),
+                q["n_mojibake"].alias("n_mojibake"),
+                q["suspect"].alias("suspect"),
+            )
+            .orderBy("doc_id")
+        )
+
     def q_lm_ppl_buckets(spark, sf):
         # CCNet head/middle/tail split (Wenzek et al. 2020 §4.4):
         # corpus-percentile bucketing on the deterministic avg_logprob
@@ -1108,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
+        "encoding_flags": q_encoding_flags,
         "line_dedup": q_line_dedup,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
@@ -1334,6 +1363,10 @@ def oracle_sql() -> dict[str, str]:
         for i, (off, w) in enumerate(simhash_bands(8))
     )
 
+    # the SAME mojibake alternation the Spark expression compiles —
+    # plain literals, valid in both Java regex and RE2
+    from lens_spark.functions.text import MOJIBAKE_RE as moji_re
+
     # bigram-LM model + per-doc quantized mean logprob (shared by the
     # lm_perplexity and lm_ppl_buckets rows): floor(ln(P)*1e6 + 0.5) —
     # the operator's quantization with identical IEEE operation order
@@ -1493,6 +1526,25 @@ def oracle_sql() -> dict[str, str]:
             select pair, count(*) as pair_count
             from p group by pair
             order by pair_count desc, pair asc limit 100
+        """,
+        "encoding_flags": f"""
+            with a as (
+              select doc_id,
+                     text
+                     || case when doc_id % 7 = 0
+                             then ' cafÃ© â€œmenu' else '' end
+                     || case when doc_id % 11 = 0
+                             then ' bad�char' else '' end as t
+              from documents
+            )
+            select doc_id,
+                   len(regexp_extract_all(t, '�'))::int as n_replacement,
+                   len(regexp_extract_all(t, '{moji_re}'))::int
+                     as n_mojibake,
+                   (len(regexp_extract_all(t, '�')) > 0
+                    or len(regexp_extract_all(t, '{moji_re}')) > 0)
+                     as suspect
+            from a order by doc_id
         """,
         "line_dedup": r"""
             with src as (

@@ -372,3 +372,41 @@ def pii_redact(col: Column) -> Column:
         n_ip.cast("int").alias("n_ip"),
         n_phone.cast("int").alias("n_phone"),
     )
+
+
+# UTF-8-decoded-as-CP1252 artifacts (the classic double-encoding
+# mojibake). "â€" is the CP1252 rendering of the UTF-8 lead bytes
+# E2 80 shared by ALL general-punctuation artifacts (curly quotes,
+# dashes, ellipsis — including the right-double-quote variant whose
+# third byte decodes to the unprintable C1 control U+009D), so the
+# bare two-char prefix covers that family; the Ã-pairs are the common
+# Latin accents; "Â " is the nbsp artifact. Plain-literal
+# alternation: portable across Java regex and RE2 (the pii_redact
+# convention).
+MOJIBAKE_RE = (
+    "â€|"
+    "Ã©|Ã¨|Ãª|Ã«|"
+    "Ã¼|Ã¶|Ã¤|Ã±|"
+    "Ã§|Ã |Ã¡|Ã³|"
+    "Ãº|Ã­|"
+    "Â "
+)
+
+
+def encoding_quality(col: Column) -> Column:
+    """ftfy-lite encoding hygiene signal (the unicode-fixing pass Dolma
+    / CCNet-style pipelines run before any text heuristic): counts of
+    U+FFFD replacement characters (a decoder already gave up) and of
+    CP1252-mojibake artifact sequences (``MOJIBAKE_RE``), plus the
+    composite ``suspect`` flag. Detection only — the FIX needs the
+    original bytes (re-encode latin-1/cp1252 → decode utf-8), which
+    belongs upstream at extraction where the bytes still exist; callers
+    route flagged docs there or drop them. Pure Catalyst, map-only, no
+    shuffle."""
+    n_repl = F.regexp_count(col, F.lit("�"))
+    n_moji = F.regexp_count(col, F.lit(MOJIBAKE_RE))
+    return F.struct(
+        n_repl.cast("int").alias("n_replacement"),
+        n_moji.cast("int").alias("n_mojibake"),
+        ((n_repl > 0) | (n_moji > 0)).alias("suspect"),
+    )

@@ -276,3 +276,27 @@ def test_py_hash_bucket_matches_spark(spark):
                      ).collect()
     for r in rows:
         assert r["b"] == py_hash_bucket(r["tok"], 256)
+
+
+def test_encoding_quality_detects_mojibake(spark):
+    from lens_spark.functions.text import encoding_quality
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "double encoded cafÃ© and Ã¼ber"),
+        (3, "curly quote artifact â€œhere"),
+        (4, "decoder gave up �� here"),
+        (5, "nbsp artifactÂ here"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = encoding_quality(F.col("text"))
+    got = {r["doc_id"]: r["q"] for r in df.select("doc_id", q.alias("q"))
+           .collect()}
+    assert got[1]["suspect"] is False and got[1]["n_mojibake"] == 0
+    assert got[2]["n_mojibake"] == 2 and got[2]["suspect"] is True
+    assert got[3]["n_mojibake"] == 1
+    assert got[4]["n_replacement"] == 2 and got[4]["suspect"] is True
+    assert got[5]["n_mojibake"] == 1
+    assert got[6]["suspect"] is None  # null text stays null, not false
