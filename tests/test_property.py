@@ -319,3 +319,71 @@ def test_curate_invariants_on_random_corpora(spark, texts):
         + rep["dropped_classifier"] + rep["dropped_exact_dup"]
         + rep["dropped_near_dup"] + rep["kept_docs"]
     ) == rep["input_docs"]
+
+
+def _dedup_lines_py(corpus, keep_first=True, min_line_chars=1):
+    """Single-threaded reference for dedup_lines: global first = min
+    (id, pos); returns {id: (clean_text_or_None, n_removed)}."""
+    from collections import Counter
+
+    lines = []
+    for i, t in corpus:
+        if t is None:
+            continue
+        for p, ln in enumerate(t.split("\n")):
+            lines.append((i, p, ln))
+    cnt = Counter(ln for _, _, ln in lines)
+    first = {}
+    for i, p, ln in sorted(lines):
+        first.setdefault(ln, (i, p))
+    out = {}
+    for i, t in corpus:
+        if t is None:
+            out[i] = (None, 0)
+            continue
+        kept, removed = [], 0
+        for p, ln in enumerate(t.split("\n")):
+            dup = len(ln) >= min_line_chars and cnt[ln] >= 2
+            rm = dup and (not keep_first or first[ln] != (i, p))
+            if rm:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), removed)
+    return out
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["", "x", "aa bb", "cc dd", "ee"]),
+                max_size=6,
+            ).map("\n".join),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    keep_first=st.booleans(),
+)
+def test_dedup_lines_equals_python_oracle(spark, texts, keep_first):
+    """dedup_lines over a tiny line vocabulary (dense cross-document
+    collisions, empty lines, null docs) must equal the single-threaded
+    reference in both modes."""
+    from lens_spark.operators.dedup import dedup_lines
+
+    corpus = list(enumerate(texts))
+    df = spark.createDataFrame(corpus, "id int, text string")
+    got = {
+        r["id"]: (r["text"], r["n_removed_lines"])
+        for r in dedup_lines(df, "id", "text",
+                             keep_first=keep_first).collect()
+    }
+    want = _dedup_lines_py(corpus, keep_first=keep_first)
+    assert got == want, (texts, keep_first)
