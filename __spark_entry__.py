@@ -400,6 +400,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.40, num_planes=4, dim=64, max_bucket=40,
         ).orderBy("id_a", "id_b")
 
+    def q_semdedup_pairs(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means-blocked semantic dup
+        # pairs. max_cluster=70 sits below the two largest sf0.01
+        # clusters (72/74 members) so the degenerate-cluster cap is a
+        # LIVE path in the gate (mirrored in the oracle), like
+        # emb_neardup's max_bucket=40
+        from lens_spark.operators.similarity import (
+            semdedup_pairs, train_ivf_centroids,
+        )
+
+        emb = _emb(spark, sf)
+        cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                    nlist=8, sample=256)
+        return semdedup_pairs(
+            emb, "vec_id", "embedding", cents,
+            threshold=0.35, max_cluster=70,
+        ).orderBy("id_a", "id_b")
+
+    def q_semdedup_keep(spark, sf):
+        # keep set = corpus minus each pair's centroid-nearer member
+        from lens_spark.operators.similarity import (
+            semdedup_keep, train_ivf_centroids,
+        )
+
+        emb = _emb(spark, sf)
+        cents = train_ivf_centroids(emb, "vec_id", "embedding",
+                                    nlist=8, sample=256)
+        return (
+            semdedup_keep(
+                emb, "vec_id", "embedding", cents,
+                threshold=0.35, max_cluster=70,
+            )
+            .select("vec_id")
+            .orderBy("vec_id")
+        )
+
     def q_lang_id(spark, sf):
         return (
             _docs(spark, sf)
@@ -1148,6 +1184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_stored": q_ann_ivf_stored,
         "stream_first_seen": q_stream_first_seen,
         "embedding_neardup": q_emb_neardup,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keep": q_semdedup_keep,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -1769,6 +1807,38 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.40
             order by id_a, id_b
         """,
+        # SemDeDup: same centroid literals as ann_ivf (list_sort of
+        # (d2, idx) structs = Spark's F.least), rank = row_number over
+        # (d2, id) within cluster, upper-triangular pairs at cos ≥ 0.35
+        # computed on the ROUNDED value exactly like the Spark filter;
+        # cap mirrored as cn between 2 and 70
+        "semdedup_pairs": f"""
+            with c as (
+              select vec_id as id, embedding::DOUBLE[] as e
+              from embeddings
+            ), a as (
+              select id, e,
+                     (list_sort([{ivf_assign_structs}]))[1] as asg
+              from c
+            ), s as (
+              select id, e, asg.idx as list_id,
+                     row_number() over (partition by asg.idx
+                                        order by asg.d2, id) as rk
+              from a
+              qualify count(*) over (partition by asg.idx)
+                      between 2 and 70
+            )
+            select id_a, id_b, cos from (
+              select x.id as id_a, y.id as id_b,
+                     round(list_dot_product(x.e, y.e)
+                       / greatest(sqrt(list_dot_product(x.e, x.e))
+                          * sqrt(list_dot_product(y.e, y.e)), 1e-12),
+                       6)::double as cos
+              from s x join s y
+                on x.list_id = y.list_id and x.rk < y.rk
+            ) where cos >= 0.35
+            order by id_a, id_b
+        """,
         "lang_id": f"""
             select doc_id, {lang_expr} as lang_pred
             from documents order by doc_id
@@ -1986,6 +2056,14 @@ def oracle_sql() -> dict[str, str]:
     # transitively with a recursive reachability CTE; cluster_id =
     # min(reachable) — the same graph property the alternating-star
     # algorithm converges to, computed a completely different way
+    # SemDeDup keep set: corpus minus the pair drop set (distinct id_b)
+    out["semdedup_keep"] = f"""
+        select vec_id from embeddings
+        where vec_id not in (
+          select id_b from ({out["semdedup_pairs"]}) p
+        )
+        order by vec_id
+    """
     out["dedup_clusters"] = f"""
         with recursive pairs as ({out["dedup_simhash"]}),
         edges as (

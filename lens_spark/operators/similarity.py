@@ -196,9 +196,13 @@ def _kmeans(X, nlist: int, iters: int) -> list[list[float]]:
     return [[round(float(v), 6) for v in c] for c in C]
 
 
-def ivf_list_id(vec_col: Column, centroids: list[list[float]]) -> Column:
-    """Inverted-list assignment: argmin_c L2(vec, c), ties to the lowest
-    centroid index — pure Catalyst (min over (distance, idx) structs)."""
+def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid assignment struct(d2 double, idx int): argmin_c
+    L2(vec, c), ties to the lowest centroid index — pure Catalyst (min
+    over (distance, idx) structs). The d2 fold is a sequential left fold
+    (aggregate over zip_with), the same operation order the DuckDB oracle
+    uses (list_sum over list_transform), so the doubles are bit-equal
+    across engines."""
     cands = [
         F.struct(
             aggregate_u(
@@ -210,11 +214,17 @@ def ivf_list_id(vec_col: Column, centroids: list[list[float]]) -> Column:
                 F.lit(0.0).cast("double"),
                 lambda acc, x: acc + x,
             ).alias("d2"),
-            F.lit(i).alias("idx"),
+            F.lit(i).cast("int").alias("idx"),
         )
         for i, c in enumerate(centroids)
     ]
-    return F.least(*cands)["idx"].cast("int")
+    return F.least(*cands)
+
+
+def ivf_list_id(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Inverted-list assignment: argmin_c L2(vec, c), ties to the lowest
+    centroid index (see :func:`ivf_assign`)."""
+    return ivf_assign(vec_col, centroids)["idx"]
 
 
 def nearest_lists(query: list[float], centroids: list[list[float]],
@@ -423,3 +433,116 @@ def quantize_int8(vec: Column) -> Column:
         dvec, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
     )
     return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+# ------------------------------------------------------------- SemDeDup
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) duplicate pairs:
+    k-means-blocked semantic near-duplicates over an embedding column.
+
+    Each vector is assigned to its nearest centroid (pure Catalyst,
+    :func:`ivf_assign`); within a cluster, members are ranked by distance
+    to the centroid ascending (id tie-break) and a pair (a, b) is emitted
+    when rank(a) < rank(b) and cos(a, b) ≥ ``threshold`` — the
+    upper-triangular rule of the reference implementation
+    (facebookresearch/SemDeDup): b, the member closer to the cluster core,
+    is the duplicate to drop; the centroid-farthest representative of each
+    duplicate group survives, which the paper shows preserves diversity.
+
+    Returns (id_a, id_b, cos): id_a = the earlier-ranked (kept-priority)
+    member. Drop set = distinct id_b (see :func:`semdedup_keep`).
+
+    100 TB shape: join-free — one scan, one exchange on the cluster id
+    (the cap's window count runs on the same partitioning), groupBy
+    collects each cluster's sorted members and ``pair_structs`` emits the
+    triangle, exactly the ``minhash_lsh_pairs`` /
+    ``embedding_neardup_pairs`` pattern (Spark 4.1 never reuses the
+    exchange across self-join sides, so a rank-self-join would compute
+    the assignment subtree — nlist × dim multiply-adds per row — twice).
+    At scale nlist grows with the corpus (the paper uses ~0.1% of n), so
+    cluster populations stay bounded; ``max_cluster`` caps degenerate
+    clusters (metered via ``observation``, dropped under the same recall
+    contract as the other bucketed dedups: members of an over-cap cluster
+    belong to coarser dedup, not O(c²) pairwise verification).
+    """
+    from pyspark.sql import Window
+
+    from lens_spark.operators.dedup import observe_cap_drops
+
+    asg = ivf_assign(F.col(vec_col), centroids)
+    with_c = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        asg["idx"].alias("list_id"),
+        asg["d2"].alias("d2"),
+    )
+    w = Window.partitionBy("list_id")
+    sized = (
+        observe_cap_drops(
+            with_c.withColumn("cluster_n", F.count("*").over(w)),
+            "cluster_n", max_cluster, observation, "semdedup",
+        )
+        .filter(
+            (F.col("cluster_n") >= 2) & (F.col("cluster_n") <= max_cluster)
+        )
+        .drop("cluster_n")
+    )
+    # struct sort on (d2, id, vec): d2 then id — id is unique so the
+    # comparison never reaches the trailing vec payload. The array is
+    # bounded by max_cluster members.
+    clusters = sized.groupBy("list_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("d2"), F.col("id"), F.col("vec")))
+        ).alias("members")
+    )
+    p = F.col("p")
+    return (
+        clusters.select(
+            F.explode(pair_structs(F.col("members"))).alias("p")
+        )
+        .select(
+            p.a.id.alias("id_a"),
+            p.b.id.alias("id_b"),
+            F.round(cosine(p.a.vec, p.b.vec), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    max_cluster: int = 1000,
+    observation=None,
+) -> DataFrame:
+    """SemDeDup keep set: input rows minus every ``id_b`` of
+    :func:`semdedup_pairs` (the centroid-nearer member of each ≥threshold
+    pair is dropped; one representative per semantic-duplicate group
+    survives).
+
+    The drop set (one id per dropped row, already distinct-able) joins
+    back via left_anti; it is small relative to the corpus only when the
+    corpus is clean — on dup-heavy data it can be a large fraction, so no
+    broadcast hint is forced (AQE decides from runtime size; the
+    decontaminate/cluster keep joins follow the same rule, ADVICE r4)."""
+    drops = (
+        semdedup_pairs(
+            df, id_col, vec_col, centroids,
+            threshold=threshold, max_cluster=max_cluster,
+            observation=observation,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drops, on=id_col, how="left_anti")

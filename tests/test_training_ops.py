@@ -799,3 +799,82 @@ def test_dedup_lines_drop_all_and_exemption(spark):
     assert got[1]["text"] == "keep me"       # every copy removed
     assert got[2]["text"] == "x\nme too"
     assert got[3]["text"] == "x" and got[3]["n_removed_lines"] == 0
+
+
+def test_semdedup_matches_bruteforce(spark):
+    """semdedup_pairs/semdedup_keep equal a single-process numpy
+    reference (nearest-centroid assign, rank by (d2, id), upper-
+    triangular cos >= threshold drop rule of Abbas et al. 2023) on a
+    deterministic pseudo-random corpus with planted duplicates."""
+    import hashlib as _h
+
+    import numpy as np
+
+    from lens_spark.operators.similarity import (
+        semdedup_keep, semdedup_pairs, train_ivf_centroids,
+    )
+
+    def vec(seed: int) -> list[float]:
+        d = _h.md5(f"sd:{seed}".encode()).digest() * 4
+        return [round((b / 255.0) * 2 - 1, 6) for b in d[:8]]
+
+    rows = [(i, vec(i)) for i in range(60)]
+    # planted near-dups: tiny perturbations of vector 3
+    for j, i in enumerate(range(60, 66)):
+        base = vec(3)
+        base[0] = round(base[0] + 0.0001 * (j + 1), 6)
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = train_ivf_centroids(df, "vec_id", "embedding",
+                                nlist=4, sample=64)
+
+    # numpy reference
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype="float64")
+    C = np.array(cents)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2)
+    assign, dist = d2.argmin(1), d2.min(1)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    exp_pairs, exp_drop = set(), set()
+    for c in set(assign.tolist()):
+        idx = np.where(assign == c)[0]
+        order = sorted(idx, key=lambda i: (dist[i], ids[i]))
+        for bi, b in enumerate(order):
+            for a in order[:bi]:
+                if round(S[a, b], 6) >= 0.9:
+                    exp_pairs.add((int(ids[a]), int(ids[b])))
+                    exp_drop.add(int(ids[b]))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(df, "vec_id", "embedding", cents,
+                                threshold=0.9).collect()
+    }
+    assert got == exp_pairs and exp_pairs  # non-vacuous: dups planted
+    kept = {
+        r["vec_id"]
+        for r in semdedup_keep(df, "vec_id", "embedding", cents,
+                               threshold=0.9).collect()
+    }
+    assert kept == set(ids.tolist()) - exp_drop
+
+
+def test_semdedup_cluster_cap(spark):
+    """Over-cap clusters are excluded from pairing (recall contract) and
+    metered; a cap above the cluster size leaves results quadratic."""
+    from pyspark.sql import Observation
+
+    from lens_spark.operators.similarity import semdedup_pairs
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    obs = Observation("semdedup_cap")
+    capped = semdedup_pairs(df, "vec_id", "embedding", cents,
+                            threshold=0.5, max_cluster=10,
+                            observation=obs)
+    assert capped.count() == 0
+    loose = semdedup_pairs(df, "vec_id", "embedding", cents,
+                           threshold=0.99, max_cluster=200)
+    assert loose.count() == 30 * 29 // 2
