@@ -881,6 +881,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = _docs(spark, sf).select("doc_id", aug.alias("text"))
         return dedup_lines(src, "doc_id", "text").orderBy("doc_id")
 
+    def q_line_dedup_doc(spark, sf):
+        # INTRA-doc exact line dedup (map-only counterpart of the
+        # corpus-level rule): derived multi-line corpus with the same
+        # boilerplate line planted TWICE per doc — exactly one removal
+        # per doc is guaranteed, plus any natural in-doc repeats
+        from lens_spark.operators.dedup import dedup_lines_in_doc
+
+        aug = F.concat(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable ")),
+            F.lit("\nshare this article\ncomments (0)\nshare this article"),
+        )
+        src = _docs(spark, sf).select("doc_id", aug.alias("text"))
+        return dedup_lines_in_doc(src, "doc_id", "text").orderBy("doc_id")
+
     def q_encoding_flags(spark, sf):
         # ftfy-lite encoding hygiene (functions/text.py): CP1252
         # mojibake + U+FFFD detection over a corpus with artifacts
@@ -1174,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_buckets": q_lm_ppl_buckets,
         "encoding_flags": q_encoding_flags,
         "line_dedup": q_line_dedup,
+        "line_dedup_doc": q_line_dedup_doc,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1621,6 +1636,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.n_removed_lines, 0) as n_removed_lines
             from src s left join reb r using(doc_id)
             order by doc_id
+        """,
+        # intra-doc line dedup: keep line i iff the FIRST occurrence of
+        # its value is at i (list_position is 1-based in DuckDB, matching
+        # Spark's array_position == i+1 on the 0-based filter index)
+        "line_dedup_doc": r"""
+            with t as (
+              select doc_id,
+                     string_split(
+                       replace(text, ' table ', chr(10) || 'table ')
+                       || chr(10) || 'share this article'
+                       || chr(10) || 'comments (0)'
+                       || chr(10) || 'share this article',
+                       chr(10)) as ls
+              from documents
+            ), k as (
+              select doc_id, ls,
+                     list_filter(ls,
+                       (x, i) -> list_position(ls, x) = i) as kept
+              from t
+            )
+            select doc_id,
+                   array_to_string(kept, chr(10)) as text,
+                   (len(ls) - len(kept))::bigint as n_removed_lines
+            from k order by doc_id
         """,
         "lm_perplexity": lm_scored_cte + """
             select doc_id, n_bigrams, sum_lp_q, avg_logprob

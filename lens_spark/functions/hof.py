@@ -64,6 +64,11 @@ def filter_u(col: Column, func) -> Column:
     return _invoke("filter", col, _lambda(func, 1))
 
 
+def filter_u2(col: Column, func) -> Column:
+    """Collision-safe 2-arg ``F.filter`` — func(element, 0-based index)."""
+    return _invoke("filter", col, _lambda(func, 2))
+
+
 def exists_u(col: Column, func) -> Column:
     return _invoke("exists", col, _lambda(func, 1))
 

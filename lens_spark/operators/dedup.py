@@ -913,3 +913,55 @@ def dedup_lines(
         F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
         .alias("n_removed_lines"),
     )
+
+
+# --------------------------------------------- intra-document line dedup
+def dedup_lines_in_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Intra-document exact line deduplication — the WITHIN-doc
+    counterpart of :func:`dedup_lines` (MassiveText's repetition
+    *removal* applied at line granularity; RefinedWeb §3.1.3 removes
+    such lines as part of line-wise correction). Every repeat of a line
+    already seen EARLIER IN THE SAME DOCUMENT is removed; the first
+    occurrence stays. No cross-document state.
+
+    Returns the input columns with ``text_col`` rebuilt (kept lines,
+    original order, ``\\n``-joined; null text stays null) plus
+    ``n_removed_lines``.
+
+    100 TB shape: map-only, zero shuffles — a pure-Catalyst projection
+    (split → indexed filter keeping line i iff ``array_position`` of its
+    first occurrence == i → rejoin). The first-occurrence scan is
+    O(L²) in the DOC'S OWN line count, never in corpus size, and runs
+    inside whole-stage codegen; no explode, no per-doc aggregation
+    state. The reference engine has no corpus-dedup tier
+    (engine/engine.go indexes docs independently); training-data layer
+    addition.
+    """
+    from lens_spark.functions.hof import filter_u2
+
+    lines = F.split(F.col(text_col), "\n")
+    # bind the split once in a projection so the lambda body references
+    # the bound attribute, not the split expression (Catalyst CSE does
+    # not reach through LambdaFunction — see functions/hof.py)
+    with_lines = df.select(*df.columns, lines.alias("__lines"))
+    arr = F.col("__lines")
+    kept = filter_u2(
+        arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1)
+    )
+    clean = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(kept, "\n"))
+    removed = F.coalesce(
+        F.size(arr) - F.size(kept), F.lit(0)
+    ).cast("long")
+    return with_lines.select(
+        *[
+            clean.alias(c) if c == text_col else F.col(c)
+            for c in df.columns
+        ],
+        removed.alias("n_removed_lines"),
+    )

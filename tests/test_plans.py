@@ -240,6 +240,11 @@ def test_map_only_text_ops_have_no_shuffle(docs):
     )
     assert s3.exchanges == 0 and s3.python_stages == 0
 
+    from lens_spark.operators.dedup import dedup_lines_in_doc
+
+    s4 = plan_stats(dedup_lines_in_doc(docs, "doc_id", "text"))
+    assert s4.exchanges == 0 and s4.python_stages == 0
+
 
 def test_decontaminate_is_broadcast_only(docs):
     # the corpus side of decontamination must never sort-merge AT THIS

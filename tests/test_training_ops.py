@@ -878,3 +878,43 @@ def test_semdedup_cluster_cap(spark):
     loose = semdedup_pairs(df, "vec_id", "embedding", cents,
                            threshold=0.99, max_cluster=200)
     assert loose.count() == 30 * 29 // 2
+
+
+def test_dedup_lines_in_doc(spark):
+    """Intra-doc line dedup: first occurrence kept in order, later
+    repeats removed; null text preserved; no cross-doc state (the same
+    line in another doc is untouched)."""
+    from lens_spark.operators.dedup import dedup_lines_in_doc
+
+    rows = [
+        (1, "a\nb\na\nc\nb\na"),     # dups of a (x2) and b
+        (2, "a\nz"),                  # 'a' also in doc 1 — must stay
+        (3, None),
+        (4, "same\nsame\nsame"),
+        (5, "only one line"),
+        (6, ""),                      # one empty line, nothing removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_lines_in_doc(df, "doc_id", "text").collect()}
+    assert got[1]["text"] == "a\nb\nc" and got[1]["n_removed_lines"] == 3
+    assert got[2]["text"] == "a\nz" and got[2]["n_removed_lines"] == 0
+    assert got[3]["text"] is None and got[3]["n_removed_lines"] == 0
+    assert got[4]["text"] == "same" and got[4]["n_removed_lines"] == 2
+    assert got[5]["text"] == "only one line"
+    assert got[6]["text"] == "" and got[6]["n_removed_lines"] == 0
+    # single-doc python reference over a pseudo-random multi-line doc
+    import hashlib as _h
+    words = [_h.md5(str(i).encode()).hexdigest()[:3] for i in range(40)]
+    lines = [words[int(_h.md5(str(i).encode()).hexdigest()[:4], 16) % 12]
+             for i in range(60)]
+    seen, kept = set(), []
+    for ln in lines:
+        if ln not in seen:
+            seen.add(ln)
+            kept.append(ln)
+    df2 = spark.createDataFrame([(9, "\n".join(lines))],
+                                "doc_id int, text string")
+    r = dedup_lines_in_doc(df2, "doc_id", "text").collect()[0]
+    assert r["text"] == "\n".join(kept)
+    assert r["n_removed_lines"] == len(lines) - len(kept)
