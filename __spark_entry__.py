@@ -895,6 +895,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         src = _docs(spark, sf).select("doc_id", aug.alias("text"))
         return dedup_lines_in_doc(src, "doc_id", "text").orderBy("doc_id")
 
+    def q_nfc_normalize(spark, sf):
+        # Unicode NFC via the Arrow-batched pandas UDF (the documented
+        # legitimate-UDF case — Catalyst has no normalizer): decomposed
+        # e+U+0301 planted in every 7th doc, U+212B/o+U+0308 in every
+        # 11th; DuckDB nfc_normalize (utf8proc) is the oracle
+        from lens_spark.functions.normalize import unicode_normalize
+
+        aug = F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafe\u0301"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" \u212bngstro\u0308m"),
+            ).otherwise(F.lit("")),
+        )
+        src = _docs(spark, sf).select("doc_id", aug.alias("t"))
+        normed = src.select(
+            "doc_id", "t",
+            unicode_normalize(F.col("t")).alias("text_nfc"),
+        )
+        return normed.select(
+            "doc_id",
+            "text_nfc",
+            (F.col("t") != F.col("text_nfc")).cast("int").alias("changed"),
+        ).orderBy("doc_id")
+
     def q_encoding_flags(spark, sf):
         # ftfy-lite encoding hygiene (functions/text.py): CP1252
         # mojibake + U+FFFD detection over a corpus with artifacts
@@ -1189,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_flags": q_encoding_flags,
         "line_dedup": q_line_dedup,
         "line_dedup_doc": q_line_dedup_doc,
+        "nfc_normalize": q_nfc_normalize,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
@@ -1640,6 +1668,26 @@ def oracle_sql() -> dict[str, str]:
         # intra-doc line dedup: keep line i iff the FIRST occurrence of
         # its value is at i (list_position is 1-based in DuckDB, matching
         # Spark's array_position == i+1 on the 0-based filter index)
+        # Unicode NFC: DuckDB nfc_normalize (utf8proc) vs the Arrow-
+        # batched unicodedata UDF — both UAX #15; planted artifacts are
+        # built from the same codepoints (chr(769)=U+0301 combining
+        # acute, chr(8491)=U+212B angstrom sign, chr(776)=U+0308)
+        "nfc_normalize": r"""
+            with t as (
+              select doc_id,
+                     text
+                     || case when doc_id % 7 = 0
+                             then ' cafe' || chr(769) else '' end
+                     || case when doc_id % 11 = 0
+                             then ' ' || chr(8491) || 'ngstro'
+                                  || chr(776) || 'm'
+                             else '' end as t
+              from documents
+            )
+            select doc_id, nfc_normalize(t) as text_nfc,
+                   (t != nfc_normalize(t))::int as changed
+            from t order by doc_id
+        """,
         "line_dedup_doc": r"""
             with t as (
               select doc_id,

@@ -918,3 +918,41 @@ def test_dedup_lines_in_doc(spark):
     r = dedup_lines_in_doc(df2, "doc_id", "text").collect()[0]
     assert r["text"] == "\n".join(kept)
     assert r["n_removed_lines"] == len(lines) - len(kept)
+
+
+def test_unicode_normalize(spark):
+    """NFC/NFKC via the Arrow-batched UDF equal unicodedata.normalize;
+    nulls pass through; bad form rejected."""
+    import unicodedata
+
+    import pytest as _pytest
+
+    from lens_spark.functions.normalize import unicode_normalize
+
+    rows = [
+        (1, "café"),           # e + combining acute -> é
+        (2, "Ångström"),  # angstrom sign + o-diaeresis
+        (3, "ﬁle"),             # fi ligature: NFC keeps, NFKC splits
+        (4, None),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: (r["nfc"], r["nfkc"])
+        for r in df.select(
+            "id",
+            unicode_normalize(F.col("t")).alias("nfc"),
+            unicode_normalize(F.col("t"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, None)
+        else:
+            assert got[i] == (
+                unicodedata.normalize("NFC", t),
+                unicodedata.normalize("NFKC", t),
+            )
+    assert got[3][0] == "ﬁle" and got[3][1] == "file"
+    with _pytest.raises(ValueError):
+        unicode_normalize(F.col("t"), "NFX")
