@@ -922,6 +922,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("t") != F.col("text_nfc")).cast("int").alias("changed"),
         ).orderBy("doc_id")
 
+    def q_script_profile(spark, sf):
+        # writing-system detection: Cyrillic planted in every 7th doc,
+        # Greek every 11th, Han every 13th (heavier than the Latin body
+        # in every 91st/143rd/77th… none — counts stay small so latin
+        # stays dominant except where the plant dominates by design)
+        from lens_spark.functions.text import script_profile
+
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" привет"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" λόγος"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.lit(" 北京大学"),
+            ).otherwise(F.lit("")),
+        )
+        src = _docs(spark, sf).select("doc_id", aug.alias("t"))
+        p = script_profile(F.col("t"))
+        return src.select(
+            "doc_id",
+            p["n_latin"].alias("n_latin"),
+            p["n_cyrillic"].alias("n_cyrillic"),
+            p["n_greek"].alias("n_greek"),
+            p["n_han"].alias("n_han"),
+            p["dominant"].alias("dominant"),
+        ).orderBy("doc_id")
+
     def q_encoding_flags(spark, sf):
         # ftfy-lite encoding hygiene (functions/text.py): CP1252
         # mojibake + U+FFFD detection over a corpus with artifacts
@@ -1029,6 +1062,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bench = d.filter(F.col("doc_id") % 50 == 0)
         return contamination_flags(
             d, bench, "doc_id", "text", n=5
+        ).orderBy("doc_id")
+
+    def q_fuzzy_decontam(spark, sf):
+        # MinHash fuzzy decontamination: every 40th doc (of the <200
+        # slice, matching the minhash oracle's corpus) plays a lightly
+        # paraphrased eval doc (appended tail) — exact near-copies must
+        # flag with high signature agreement; threshold 0.5 of 8 hashes
+        from lens_spark.operators.decontam import minhash_contamination
+
+        corpus = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") < 200)
+            .select("doc_id", "text")
+        )
+        bench = corpus.filter(F.col("doc_id") % 40 == 0).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" eval suite answer key tail")
+            ).alias("text"),
+        )
+        return minhash_contamination(
+            corpus, bench, "doc_id", "text",
+            num_hashes=8, bands=4, threshold=0.5,
         ).orderBy("doc_id")
 
     def q_duplicate_spans(spark, sf):
@@ -1217,9 +1273,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_dedup_doc": q_line_dedup_doc,
         "nfc_normalize": q_nfc_normalize,
+        "script_profile": q_script_profile,
         "hash_sample": q_hash_sample,
         "corpus_stats": q_corpus_stats,
         "decontaminate": q_decontaminate,
+        "fuzzy_decontam": q_fuzzy_decontam,
         "events_sessions": q_events_sessions,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh,
@@ -1668,6 +1726,63 @@ def oracle_sql() -> dict[str, str]:
         # intra-doc line dedup: keep line i iff the FIRST occurrence of
         # its value is at i (list_position is 1-based in DuckDB, matching
         # Spark's array_position == i+1 on the 0-based filter index)
+        # script detection: RE2 \p{Script} vs JVM \p{IsScript} (both
+        # UAX #24); dominant = max count, ties to the earlier script in
+        # SCRIPTS order, 'none' when no scripted char
+        "script_profile": r"""
+            with t as (
+              select doc_id,
+                     text
+                     || case when doc_id % 7 = 0
+                             then ' привет' else '' end
+                     || case when doc_id % 11 = 0
+                             then ' λόγος' else '' end
+                     || case when doc_id % 13 = 0
+                             then ' 北京大学' else '' end as t
+              from documents
+            ), c as (
+              select doc_id,
+                     len(regexp_extract_all(t, '[\p{Latin}]'))
+                       as n_latin,
+                     len(regexp_extract_all(t, '[\p{Cyrillic}]'))
+                       as n_cyrillic,
+                     len(regexp_extract_all(t, '[\p{Greek}]'))
+                       as n_greek,
+                     len(regexp_extract_all(t, '[\p{Han}]')) as n_han,
+                     len(regexp_extract_all(t, '[\p{Arabic}]'))
+                       as n_arabic,
+                     len(regexp_extract_all(t, '[\p{Hebrew}]'))
+                       as n_hebrew,
+                     len(regexp_extract_all(t, '[\p{Devanagari}]'))
+                       as n_devanagari,
+                     len(regexp_extract_all(t, '[\p{Hangul}]'))
+                       as n_hangul,
+                     len(regexp_extract_all(t, '[\p{Hiragana}]'))
+                       as n_hiragana,
+                     len(regexp_extract_all(t, '[\p{Katakana}]'))
+                       as n_katakana
+              from t
+            ), d as (
+              select *,
+                     greatest(n_latin, n_cyrillic, n_greek, n_han,
+                              n_arabic, n_hebrew, n_devanagari,
+                              n_hangul, n_hiragana, n_katakana) as m
+              from c
+            )
+            select doc_id, n_latin, n_cyrillic, n_greek, n_han,
+                   case when m = 0 then 'none'
+                        when n_latin = m then 'latin'
+                        when n_cyrillic = m then 'cyrillic'
+                        when n_greek = m then 'greek'
+                        when n_han = m then 'han'
+                        when n_arabic = m then 'arabic'
+                        when n_hebrew = m then 'hebrew'
+                        when n_devanagari = m then 'devanagari'
+                        when n_hangul = m then 'hangul'
+                        when n_hiragana = m then 'hiragana'
+                        else 'katakana' end as dominant
+            from d order by doc_id
+        """,
         # Unicode NFC: DuckDB nfc_normalize (utf8proc) vs the Arrow-
         # batched unicodedata UDF — both UAX #15; planted artifacts are
         # built from the same codepoints (chr(769)=U+0301 combining
@@ -2331,6 +2446,74 @@ def oracle_sql() -> dict[str, str]:
     """
     # 5-gram shingles (word_shingles k=5 over the same normalized
     # tokens), benchmark = doc_id % 50, distinct-gram overlap counts
+    # MinHash fuzzy decontamination: corpus/bench signatures built with
+    # the dedup_minhash_lsh md5 construction (mins per seed, per-band
+    # md5 of its own 2 mins), candidates via band equality, verified by
+    # component-agreement count; best match = max agree, lowest bench id
+    out["fuzzy_decontam"] = f"""
+        with ctoks as (
+          select doc_id, {ws_toks} as tk from documents
+          where doc_id < 200
+        ), bsrc as (
+          select doc_id,
+                 text || ' eval suite answer key tail' as text
+          from documents where doc_id < 200 and doc_id % 40 = 0
+        ), btoks as (
+          select doc_id, {ws_toks} as tk from bsrc
+        ), csh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from ctoks
+        ), bsh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from btoks
+        ), csig as (
+          select doc_id,
+            [list_min(list_transform(shingles,
+                s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from csh
+        ), bsig as (
+          select doc_id,
+            [list_min(list_transform(shingles,
+                s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from bsh
+        ), cbands as (
+          select doc_id, sig, b as band_no,
+                 md5(array_to_string(sig[2*b+1:2*b+2], '|')) as bucket
+          from csig, unnest([0,1,2,3]) as t(b)
+        ), bbands as (
+          select doc_id, sig, b as band_no,
+                 md5(array_to_string(sig[2*b+1:2*b+2], '|')) as bucket
+          from bsig, unnest([0,1,2,3]) as t(b)
+        ), scored as (
+          select distinct c.doc_id, b.doc_id as bench_id,
+                 list_sum(list_transform(range(1, 9),
+                   i -> case when c.sig[i] = b.sig[i]
+                             then 1 else 0 end))::int as n_agree
+          from cbands c join bbands b
+            on c.band_no = b.band_no and c.bucket = b.bucket
+        ), best as (
+          select doc_id, n_agree, bench_id from scored
+          qualify row_number() over (partition by doc_id
+                    order by n_agree desc, bench_id) = 1
+        )
+        select d.doc_id,
+               coalesce(b.n_agree, 0)::int as n_agree,
+               coalesce(b.bench_id, -1)::bigint as fuzzy_match_id,
+               (coalesce(b.n_agree, 0) >= 4)::int as fuzzy_contaminated
+        from (select doc_id from documents where doc_id < 200) d
+        left join best b using(doc_id)
+        order by d.doc_id
+    """
     out["decontaminate"] = f"""
         with tk as (
           select doc_id, {ws_toks} as tk from documents

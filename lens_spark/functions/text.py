@@ -410,3 +410,52 @@ def encoding_quality(col: Column) -> Column:
         n_moji.cast("int").alias("n_mojibake"),
         ((n_repl > 0) | (n_moji > 0)).alias("suspect"),
     )
+
+
+# ------------------------------------------------------ script detection
+# Unicode-script char classes. JVM regex spells a script \p{IsLatin},
+# RE2 (DuckDB) \p{Latin} — both are UAX #24 script properties, so counts
+# agree (probed incl. Cyrillic/Greek/Han mixes). Counting uses
+# regexp_extract-all length, which counts CODEPOINT matches on both
+# engines for BMP scripts (all of these are BMP).
+SCRIPTS = ("Latin", "Cyrillic", "Greek", "Han", "Arabic", "Hebrew",
+           "Devanagari", "Hangul", "Hiragana", "Katakana")
+
+
+def script_profile(col: Column) -> Column:
+    """Writing-system profile: per-script character counts plus the
+    dominant script — struct(n_latin, ..., dominant string).
+
+    ``dominant`` = the script with the most characters (first in
+    :data:`SCRIPTS` order on ties); ``'none'`` when no scripted
+    character occurs (digits/punctuation/whitespace only) or text is
+    null. Complements :func:`lang_id` (marker-word voting only works
+    within a script; real pipelines gate on script first — CCNet
+    routes by fastText langid which is script-aware).
+
+    100 TB shape: map-only pure Catalyst — one regexp pass per script
+    (Unicode classes, not ASCII ranges — the JVM's ASCII-range trap is
+    12x slower, see SNIPPETS/memory), zero shuffles, whole-stage
+    codegen.
+    """
+    counts = [
+        F.size(
+            F.regexp_extract_all(col, F.lit(rf"[\p{{Is{s}}}]"), F.lit(0))
+        ).alias(f"n_{s.lower()}")
+        for s in SCRIPTS
+    ]
+    best = F.greatest(*[
+        F.struct(
+            F.size(F.regexp_extract_all(
+                col, F.lit(rf"[\p{{Is{s}}}]"), F.lit(0))).alias("n"),
+            # DESCENDING priority for ties: earlier script wins ⇒ larger
+            # tiebreak value; greatest() picks the max (n, tie) struct
+            F.lit(len(SCRIPTS) - i).alias("tie"),
+            F.lit(s.lower()).alias("name"),
+        )
+        for i, s in enumerate(SCRIPTS)
+    ])
+    dominant = F.when(
+        col.isNull() | (best["n"] == 0), F.lit("none")
+    ).otherwise(best["name"])
+    return F.struct(*counts, dominant.alias("dominant"))

@@ -128,3 +128,164 @@ def contamination_flags(
             .alias("contaminated"),
         )
     )
+
+
+# ------------------------------------------------- fuzzy (MinHash) layer
+def _sig_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_id: str,
+    sig_name: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(out_id, sig array<string>, band_no, bucket) rows — the exact
+    min/band construction of dedup.minhash_lsh_pairs (each band hashed
+    from only its own seeds; mins materialized as plain columns first so
+    nothing re-evaluates through lambdas), with the full signature
+    carried alongside for verification."""
+    from lens_spark.functions.hof import transform_u
+    from lens_spark.operators.dedup import word_shingles
+
+    rows_per_band = num_hashes // bands
+    if hash_fn == "md5":
+        def h1(h, s):
+            return F.md5(F.concat(F.lit(f"{h}:"), s))
+
+        band_hash = F.md5
+    else:
+        def h1(h, s):
+            return F.xxhash64(F.concat(F.lit(f"{h}:"), s))
+
+        band_hash = F.xxhash64
+    shingled = df.select(
+        F.col(id_col).alias(out_id),
+        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+    )
+    mins = shingled.select(
+        out_id,
+        *[
+            F.array_min(
+                transform_u(F.col("shingles"), lambda s, h=h: h1(h, s))
+            ).alias(f"m_{h}")
+            for h in range(num_hashes)
+        ],
+    )
+    band_cols = [
+        band_hash(
+            F.array_join(
+                F.array(
+                    *[F.col(f"m_{h}") for h in
+                      range(b * rows_per_band, (b + 1) * rows_per_band)]
+                ).cast("array<string>"),
+                "|",
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    sig = F.array(
+        *[F.col(f"m_{h}").cast("string") for h in range(num_hashes)]
+    )
+    with_sig = mins.select(out_id, sig.alias(sig_name), *band_cols)
+    return with_sig.selectExpr(
+        out_id,
+        sig_name,
+        "stack({}, {}) as (band_no, bucket)".format(
+            bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
+        ),
+    )
+
+
+def minhash_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """FUZZY test-set decontamination: flag corpus docs whose MinHash
+    signature agrees with some benchmark doc's on ≥ ``threshold`` of
+    the ``num_hashes`` components (the unbiased MinHash estimator of
+    shingle-Jaccard — the fuzzy complement of the exact n-gram rule in
+    :func:`contamination_flags`; near-verbatim eval copies with light
+    paraphrase slip exact n-gram overlap but not MinHash agreement).
+
+    Returns one row per corpus doc: (id_col, n_agree, fuzzy_match_id,
+    fuzzy_contaminated) — n_agree = the best benchmark doc's agreeing
+    component count (0 if no band collision; band recall applies:
+    a pair sharing no full band is never scored, the standard
+    LSH-candidate contract), fuzzy_match_id = that doc (ties to the
+    lowest id; -1 sentinel when none — nullable ints poison pandas
+    round-trips), fuzzy_contaminated = n_agree ≥ ceil(threshold ×
+    num_hashes).
+
+    100 TB shape: the benchmark side is tiny (evals are thousands of
+    docs) so its band table is a GENUINE broadcast — the corpus side
+    computes signatures map-only and never shuffles; the only exchanges
+    move candidate rows (band collisions) for the per-doc max and the
+    final annotate join-back, which is AQE-decided (no forced broadcast
+    — on a contaminated-heavy corpus the best-match table is large;
+    ADVICE r4 rule).
+    """
+    import math
+
+    from lens_spark.functions.hof import aggregate_u, zip_with_u
+    from lens_spark.operators.dedup import ensure_parallelism
+
+    min_agree = int(math.ceil(threshold * num_hashes))
+    cb = _sig_band_rows(
+        ensure_parallelism(corpus), id_col, text_col, "id", "sig",
+        num_hashes, bands, shingle_k, hash_fn,
+    )
+    bb = _sig_band_rows(
+        benchmark, id_col, text_col, "bench_id", "bench_sig",
+        num_hashes, bands, shingle_k, hash_fn,
+    )
+    cand = cb.join(F.broadcast(bb), on=["band_no", "bucket"], how="inner")
+    agree = aggregate_u(
+        zip_with_u(
+            F.col("sig"), F.col("bench_sig"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("id", "bench_id", agree.alias("n_agree"))
+    best = (
+        scored.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_agree")).alias("neg"),
+                    F.col("bench_id").alias("bid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "id",
+            (-F.col("b.neg")).alias("n_agree"),
+            F.col("b.bid").alias("match_id"),
+        )
+    )
+    out = (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(best, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("int")
+            .alias("n_agree"),
+            F.coalesce(F.col("match_id"), F.lit(-1)).cast("long")
+            .alias("fuzzy_match_id"),
+            (F.coalesce(F.col("n_agree"), F.lit(0)) >= min_agree)
+            .cast("int")
+            .alias("fuzzy_contaminated"),
+        )
+    )
+    return out

@@ -956,3 +956,71 @@ def test_unicode_normalize(spark):
     assert got[3][0] == "ﬁle" and got[3][1] == "file"
     with _pytest.raises(ValueError):
         unicode_normalize(F.col("t"), "NFX")
+
+
+def test_script_profile(spark):
+    """Per-script counts + dominant: ties go to the earlier script in
+    SCRIPTS order; digits/punct-only and null text yield 'none'."""
+    from lens_spark.functions.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "ab пр"),          # 2 latin vs 2 cyrillic — tie → latin
+        (4, "123 .,!"),
+        (5, None),
+        (6, "日本語 と カタカナ"),  # han+hiragana+katakana mix
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    p = script_profile(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", p["dominant"].alias("dom"),
+            p["n_latin"].alias("lat"), p["n_cyrillic"].alias("cyr"),
+            p["n_han"].alias("han"), p["n_hiragana"].alias("hira"),
+            p["n_katakana"].alias("kata"),
+        ).collect()
+    }
+    assert got[1]["dom"] == "latin" and got[1]["lat"] == 10
+    assert got[2]["dom"] == "cyrillic" and got[2]["cyr"] == 9
+    assert got[3]["dom"] == "latin" and got[3]["lat"] == 2 == got[3]["cyr"]
+    assert got[4]["dom"] == "none"
+    assert got[5]["dom"] == "none"
+    assert got[6]["han"] == 3 and got[6]["hira"] == 1  # と
+    assert got[6]["kata"] == 4  # カタカナ
+
+
+def test_minhash_contamination(spark):
+    """Fuzzy decontam: exact bench copy agrees on all components; a
+    light paraphrase still clears the threshold; unrelated docs get the
+    (0, -1, 0) sentinel row; ties go to the lowest bench id."""
+    from lens_spark.operators.decontam import minhash_contamination
+
+    eval_text = ("what is the capital of france paris is the capital "
+                 "of france and has been since the tenth century")
+    corpus = spark.createDataFrame(
+        [
+            (1, eval_text),                              # verbatim leak
+            (2, eval_text + " according to the quiz"),   # paraphrase-ish
+            (3, "completely unrelated text about spark shuffle tuning "
+                "and adaptive query execution at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, eval_text), (101, eval_text)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in minhash_contamination(
+            corpus, bench, "doc_id", "text",
+            num_hashes=8, bands=4, threshold=0.5,
+        ).collect()
+    }
+    assert got[1]["n_agree"] == 8 and got[1]["fuzzy_contaminated"] == 1
+    assert got[1]["fuzzy_match_id"] == 100          # tie → lowest id
+    assert got[2]["fuzzy_contaminated"] == 1 and got[2]["n_agree"] >= 4
+    assert (got[3]["n_agree"], got[3]["fuzzy_match_id"],
+            got[3]["fuzzy_contaminated"]) == (0, -1, 0)
