@@ -840,6 +840,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), "lang", alpha=0.5
         ).orderBy("lang")
 
+    def q_sample_mixture(spark, sf):
+        # mixture MATERIALIZATION: deterministic hash-bucket sampling at
+        # the temperature-scaled per-lang rates (expected weight_g×6000
+        # tokens per group; 6000 ≈ half the sf0.01 corpus so rates are
+        # properly fractional). md5-bucket rule — engines agree row-level
+        from lens_spark.operators.mixing import sample_mixture
+
+        return (
+            sample_mixture(
+                _docs(spark, sf), "lang", "doc_id",
+                target_tokens=6000, alpha=0.5,
+            )
+            .select("doc_id", "lang", "rate_q")
+            .orderBy("doc_id")
+        )
+
     def q_bpe_pair_counts(spark, sf):
         # adjacent-token-pair frequencies, top-100 — one BPE merge step
         # (Sennrich et al. 2016). Pair stream built JVM-side; top-k is
@@ -1266,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "word_counts": q_word_counts,
         "mixture_weights": q_mixture_weights,
+        "sample_mixture": q_sample_mixture,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -1637,6 +1654,31 @@ def oracle_sql() -> dict[str, str]:
               from t
             ) where score > 0
             order by score desc, doc_id asc limit 100
+        """,
+        # mixture materialization: same weight CTE as mixture_weights,
+        # rate_q = floor(min(1, w*6000/size)*1e6), md5-bucket keep rule
+        "sample_mixture": r"""
+            with g as (
+              select lang,
+                     count(*) as n_docs,
+                     sum(len(list_filter(
+                         string_split_regex(text, '\s+'),
+                         t -> len(t) > 0)))::bigint as group_size
+              from documents group by lang
+            ), r as (
+              select lang,
+                     floor(least(1.0,
+                         round(power(group_size::double, 0.5)
+                           / sum(power(group_size::double, 0.5)) over (),
+                           6) * 6000.0 / group_size::double)
+                       * 1000000.0)::bigint as rate_q
+              from g
+            )
+            select d.doc_id, d.lang, r.rate_q
+            from documents d join r using(lang)
+            where ('0x' || substr(md5(cast(d.doc_id as varchar)), 1, 8))
+                    ::bigint % 1000000 < r.rate_q
+            order by d.doc_id
         """,
         "mixture_weights": r"""
             with g as (

@@ -114,3 +114,51 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(top_k)
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_tokens: int,
+    alpha: float = 0.5,
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Materialize a temperature-scaled mixture: deterministically
+    sample each group at the rate that yields ``weight_g ×
+    target_tokens`` expected tokens from group g (capped at the whole
+    group), with weights from :func:`mixture_weights`.
+
+    Sampling is the reproducible hash-bucket rule (md5 of the stable id,
+    never rand() — re-runs and engines agree row-for-row): keep a row
+    iff ``md5_bucket(id) < floor(rate_g × 1e6)`` over a 1e6 bucket
+    space. Returns the sampled rows with their group's ``rate_q``
+    (= floor(rate×1e6), the integer actually compared) attached for
+    audit.
+
+    100 TB shape: one aggregation scan for the per-group table (tens of
+    rows), then one map-only pass — the rate table is a GENUINE
+    broadcast (one row per group), the keep test is a pushable filter,
+    no shuffle of corpus rows at all.
+    """
+    w = mixture_weights(df, group_col, alpha=alpha, size_col=size_col)
+    rate = F.least(
+        F.lit(1.0),
+        F.col("weight") * F.lit(float(target_tokens))
+        / F.col("group_size").cast("double"),
+    )
+    rates = w.select(
+        group_col,
+        F.floor(rate * F.lit(1000000.0)).cast("long").alias("rate_q"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % 1000000
+    )
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(bucket < F.col("rate_q"))
+    )

@@ -74,3 +74,49 @@ def test_bpe_pair_counts_custom_tokens(spark):
         tokens=F.split(F.upper(F.col("text")), " "),
     ).collect()
     assert {r["pair"] for r in got} == {"A B", "B C", "C D"}
+
+
+def test_sample_mixture_deterministic(spark):
+    """sample_mixture equals a python reference of the same rule
+    (rounded temperature weight -> capped rate -> md5 bucket) and is
+    deterministic across runs; a huge target keeps everything."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lens_spark.operators.mixing import sample_mixture
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", "word " * 20))
+    for i in range(40, 50):
+        rows.append((i, "de", "wort " * 10))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    target = 300
+    sizes = {"en": 40 * 20, "de": 10 * 10}
+    pw = {g: s ** 0.5 for g, s in sizes.items()}
+    tot = sum(pw.values())
+    exp_keep = set()
+    rate_q = {}
+    for g, s in sizes.items():
+        w = round(pw[g] / tot, 6)
+        rate_q[g] = int(min(1.0, w * float(target) / s) * 1e6)
+    for i, g, _ in rows:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000000
+        if b < rate_q[g]:
+            exp_keep.add(i)
+
+    out = sample_mixture(df, "lang", "doc_id", target_tokens=target)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == exp_keep and 0 < len(got) < 50
+    got2 = {r["doc_id"] for r in
+            sample_mixture(df, "lang", "doc_id", target_tokens=target)
+            .select("doc_id").collect()}
+    assert got2 == got
+    # a target far above the corpus keeps every row (rate capped at 1)
+    assert sample_mixture(df, "lang", "doc_id", 10**9).count() == 50
+    # rate_q audit column matches the integer actually compared
+    rq = {r["lang"]: r["rate_q"] for r in
+          out.select("lang", "rate_q").distinct().collect()}
+    assert rq == rate_q
