@@ -7,6 +7,7 @@ training-ready data):
         <docs.parquet> <out_dir> [--exactsubstr-k K] \
         [--chunk MAX[,OVERLAP]] [--classifier-min P] \
         [--benchmark eval.parquet] \
+        [--fuzzy-benchmark eval.parquet [--fuzzy-threshold T]] \
         [--lm-ppl-max X [--lm-train ref.parquet]] \
         [--id-col doc_id] [--text-col text]
 
@@ -18,6 +19,8 @@ Input: any parquet with an id column and a text column (the synthetic
                 with --lm-ppl-max, trained on --lm-train if given else
                 self-trained] [→ test-set decontamination against
                 --benchmark, an (id, text) parquet of eval docs]
+                [→ fuzzy MinHash decontamination against
+                --fuzzy-benchmark at --fuzzy-threshold (default 0.5)]
                 → PII → exact dedup → minhash near-dup keep
                 [→ ExactSubstr substring deletion with --exactsubstr-k]
     chunking  — optional: split curated docs into ≤MAX-token chunks
@@ -56,6 +59,8 @@ def run(
     chunk: tuple[int, int] | None = None,
     classifier_min: float | None = None,
     benchmark=None,
+    fuzzy_benchmark=None,
+    fuzzy_threshold: float = 0.5,
     lm_ppl_max: float | None = None,
     lm_train=None,
 ) -> dict:
@@ -70,6 +75,8 @@ def run(
         exactsubstr_k=exactsubstr_k,
         classifier_min=classifier_min,
         benchmark=benchmark,
+        fuzzy_benchmark=fuzzy_benchmark,
+        fuzzy_threshold=fuzzy_threshold,
         lm_ppl_max=lm_ppl_max,
         lm_train=lm_train,
     )
@@ -129,6 +136,11 @@ def main() -> None:
             spark.read.parquet(bp)
             if (bp := _flag("--benchmark")) is not None else None
         ),
+        fuzzy_benchmark=(
+            spark.read.parquet(fb)
+            if (fb := _flag("--fuzzy-benchmark")) is not None else None
+        ),
+        fuzzy_threshold=float(_flag("--fuzzy-threshold", "0.5")),
         lm_ppl_max=(
             float(pm) if (pm := _flag("--lm-ppl-max")) is not None
             else None

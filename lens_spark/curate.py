@@ -5,7 +5,8 @@ data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
     c4 line cleaning → gopher quality rules [→ classifier quality]
     [→ LM perplexity filter (lm_ppl_max=, the CCNet stage)]
-    [→ test-set decontamination (benchmark=)] → pii redaction
+    [→ test-set decontamination (benchmark=)]
+    [→ fuzzy MinHash decontamination (fuzzy_benchmark=)] → pii redaction
     → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
     → language id + quality annotation
     [→ ExactSubstr substring deletion (exactsubstr_k)]
@@ -13,7 +14,7 @@ data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
 Design rule: **annotate, don't drop.** Every stage adds columns
 (``c4``, ``gopher_keep``, ``clf_keep``, ``lm_keep``, ``decontam_keep``,
-``pii``, ``exact_keeper``, ``neardup_keep``)
+``fuzzy_keep``, ``pii``, ``exact_keeper``, ``neardup_keep``)
 and the final ``kept`` flag conjoins them; ``curated`` is the filtered
 view. This keeps the whole chain ONE logical plan (Catalyst sees through
 it: single scan, the dedup shuffles are the only wide stages), makes
@@ -67,6 +68,11 @@ def curate(
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_max_gram_df: int | None = None,
+    fuzzy_benchmark: DataFrame | None = None,
+    fuzzy_threshold: float = 0.5,
+    fuzzy_hashes: int = 8,
+    fuzzy_bands: int = 4,
+    fuzzy_hash_fn: str = "xxhash64",
     lm_ppl_max: float | None = None,
     lm_train: DataFrame | None = None,
     lm_add_k: float = 0.1,
@@ -103,6 +109,17 @@ def curate(
     at 100 TB, checkpoint the cleaned projection first if the second
     scan matters. ``decontam_max_gram_df`` caps eval-set boilerplate
     grams (metered; see contamination_hits).
+
+    ``fuzzy_benchmark`` (off by default) inserts MINHASH fuzzy
+    decontamination after the exact stage: ``fuzzy_keep`` = 0 for any
+    doc whose cleaned text's MinHash signature agrees with some
+    benchmark doc's on ≥ ``fuzzy_threshold`` of ``fuzzy_hashes``
+    components (operators/decontam.minhash_contamination_hits — catches
+    lightly paraphrased eval copies that slip exact n-gram overlap).
+    The benchmark band table broadcasts (genuinely tiny); the
+    flagged-docs join-back is AQE-decided like the exact stage's.
+    ``fuzzy_hash_fn`` defaults to xxhash64 for production speed; pass
+    "md5" for cross-engine oracle parity.
 
     ``lm_ppl_max`` (off by default) inserts the CCNet perplexity stage
     (Wenzek et al. 2020) after the classifier: ``lm_keep`` = bigram-LM
@@ -211,6 +228,36 @@ def curate(
         )
     else:
         base = base.withColumn("decontam_keep", F.lit(1))
+    if fuzzy_benchmark is not None:
+        from lens_spark.operators.decontam import (
+            minhash_contamination_hits,
+        )
+
+        fhits = minhash_contamination_hits(
+            base.select(
+                F.col(id_col),
+                F.col("c4.clean_text").alias(text_col),
+            ),
+            fuzzy_benchmark,
+            id_col,
+            text_col,
+            num_hashes=fuzzy_hashes,
+            bands=fuzzy_bands,
+            threshold=fuzzy_threshold,
+            hash_fn=fuzzy_hash_fn,
+        ).select(id_col, F.col("n_agree").alias("__fz_agree"))
+        # flagged-docs-only table (small when contamination is rare);
+        # join-back AQE-decided, same rule as the exact decontam stage
+        base = (
+            base.join(fhits, on=id_col, how="left")
+            .withColumn(
+                "fuzzy_keep",
+                F.when(F.col("__fz_agree").isNull(), 1).otherwise(0),
+            )
+            .drop("__fz_agree")
+        )
+    else:
+        base = base.withColumn("fuzzy_keep", F.lit(1))
     base = base.withColumn("pii", pii_redact(F.col("c4.clean_text")))
 
     # exact dedup: rank within identical redacted-text digests. Docs
@@ -225,6 +272,7 @@ def curate(
         & (F.col("clf_keep") == 1)
         & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
+        & (F.col("fuzzy_keep") == 1)
     )
     w = Window.partitionBy(digest).orderBy(
         F.when(early_surv, 0).otherwise(1), F.col(id_col)
@@ -241,6 +289,7 @@ def curate(
         & (F.col("clf_keep") == 1)
         & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
+        & (F.col("fuzzy_keep") == 1)
         & (F.col("exact_keeper") == 1)
     )
     pairs = minhash_lsh_pairs(
@@ -278,6 +327,7 @@ def curate(
             & (F.col("clf_keep") == 1)
             & (F.col("lm_keep") == 1)
             & (F.col("decontam_keep") == 1)
+            & (F.col("fuzzy_keep") == 1)
             & (F.col("exact_keeper") == 1)
             & (F.col("neardup_keep") == 1)
         ).cast("int"),
@@ -324,6 +374,8 @@ def curation_report(annotated: DataFrame) -> dict:
         else F.lit(True)
     dc = (F.col("decontam_keep") == 1) \
         if "decontam_keep" in annotated.columns else F.lit(True)
+    fz = (F.col("fuzzy_keep") == 1) \
+        if "fuzzy_keep" in annotated.columns else F.lit(True)
     ex = F.col("exact_keeper") == 1
     row = annotated.agg(
         F.count("*").alias("input_docs"),
@@ -334,11 +386,15 @@ def curation_report(annotated: DataFrame) -> dict:
         F.sum((c4 & go & cl & lm & ~dc).cast("long")).alias(
             "dropped_decontam"
         ),
-        F.sum((c4 & go & cl & lm & dc & ~ex).cast("long")).alias(
+        F.sum((c4 & go & cl & lm & dc & ~fz).cast("long")).alias(
+            "dropped_fuzzy_decontam"
+        ),
+        F.sum((c4 & go & cl & lm & dc & fz & ~ex).cast("long")).alias(
             "dropped_exact_dup"
         ),
         F.sum(
-            (c4 & go & cl & lm & dc & ex & (F.col("neardup_keep") == 0))
+            (c4 & go & cl & lm & dc & fz
+             & ex & (F.col("neardup_keep") == 0))
             .cast("long")
         ).alias("dropped_near_dup"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),

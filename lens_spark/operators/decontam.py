@@ -199,6 +199,90 @@ def _sig_band_rows(
     )
 
 
+def _fuzzy_best(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Per-corpus-doc best benchmark match over band-collision
+    candidates: (id, n_agree, match_id) — max agreeing components, ties
+    to the lowest bench id. Only docs with ≥1 band collision appear."""
+    from lens_spark.functions.hof import aggregate_u, zip_with_u
+    from lens_spark.operators.dedup import ensure_parallelism
+
+    cb = _sig_band_rows(
+        ensure_parallelism(corpus), id_col, text_col, "id", "sig",
+        num_hashes, bands, shingle_k, hash_fn,
+    )
+    bb = _sig_band_rows(
+        benchmark, id_col, text_col, "bench_id", "bench_sig",
+        num_hashes, bands, shingle_k, hash_fn,
+    )
+    cand = cb.join(F.broadcast(bb), on=["band_no", "bucket"], how="inner")
+    agree = aggregate_u(
+        zip_with_u(
+            F.col("sig"), F.col("bench_sig"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select("id", "bench_id", agree.alias("n_agree"))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_agree")).alias("neg"),
+                    F.col("bench_id").alias("bid"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "id",
+            (-F.col("b.neg")).alias("n_agree"),
+            F.col("b.bid").alias("match_id"),
+        )
+    )
+
+
+def minhash_contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Flagged docs ONLY → (id_col, n_agree, fuzzy_match_id) — the small
+    table a caller joins back however fits its plan (curate()'s fuzzy
+    stage left-joins it; :func:`minhash_contamination` completes it to a
+    full-corpus view). Same semantics as there."""
+    import math
+
+    min_agree = int(math.ceil(threshold * num_hashes))
+    return (
+        _fuzzy_best(
+            corpus, benchmark, id_col, text_col,
+            num_hashes, bands, shingle_k, hash_fn,
+        )
+        .filter(F.col("n_agree") >= min_agree)
+        .select(
+            F.col("id").alias(id_col),
+            "n_agree",
+            F.col("match_id").alias("fuzzy_match_id"),
+        )
+    )
+
+
 def minhash_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -236,43 +320,10 @@ def minhash_contamination(
     """
     import math
 
-    from lens_spark.functions.hof import aggregate_u, zip_with_u
-    from lens_spark.operators.dedup import ensure_parallelism
-
     min_agree = int(math.ceil(threshold * num_hashes))
-    cb = _sig_band_rows(
-        ensure_parallelism(corpus), id_col, text_col, "id", "sig",
+    best = _fuzzy_best(
+        corpus, benchmark, id_col, text_col,
         num_hashes, bands, shingle_k, hash_fn,
-    )
-    bb = _sig_band_rows(
-        benchmark, id_col, text_col, "bench_id", "bench_sig",
-        num_hashes, bands, shingle_k, hash_fn,
-    )
-    cand = cb.join(F.broadcast(bb), on=["band_no", "bucket"], how="inner")
-    agree = aggregate_u(
-        zip_with_u(
-            F.col("sig"), F.col("bench_sig"),
-            lambda x, y: (x == y).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    scored = cand.select("id", "bench_id", agree.alias("n_agree"))
-    best = (
-        scored.groupBy("id")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("n_agree")).alias("neg"),
-                    F.col("bench_id").alias("bid"),
-                )
-            ).alias("b")
-        )
-        .select(
-            "id",
-            (-F.col("b.neg")).alias("n_agree"),
-            F.col("b.bid").alias("match_id"),
-        )
     )
     out = (
         corpus.select(F.col(id_col).alias("id"))

@@ -363,3 +363,40 @@ def test_lm_perplexity_stage(spark):
     # between their perplexities; stage off → bucket zero
     rep_off = curation_report(curate(docs).annotated)
     assert rep_off["dropped_lm"] == 0
+
+
+def test_fuzzy_decontam_stage(spark):
+    """fuzzy_benchmark= inserts MinHash decontamination: a doc whose
+    cleaned text fuzzily matches an eval doc dies with fuzzy_keep=0,
+    lands in dropped_fuzzy_decontam, and the report still partitions
+    the input. md5 hash_fn so the check is engine-shape-independent."""
+    benchy = "\n".join(
+        ["a calm evening ship sails with the quiet wind tonight."] * 6
+    )
+    rows = [
+        (1, _GOOD),
+        (2, benchy),                                  # fuzzy eval copy
+        (3, "lorem ipsum dolor sit amet. " + benchy),  # dies at c4 first
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, benchy)], "doc_id long, text string"
+    )
+    res = curate(docs, fuzzy_benchmark=bench, fuzzy_hash_fn="md5")
+    flags = {r["doc_id"]: r for r in res.annotated.collect()}
+    assert flags[1]["fuzzy_keep"] == 1 and flags[1]["kept"] == 1
+    assert flags[2]["fuzzy_keep"] == 0 and flags[2]["kept"] == 0
+    assert flags[3]["c4_keep"] == 0
+    rep = curation_report(res.annotated)
+    assert rep["dropped_fuzzy_decontam"] == 1
+    assert rep["dropped_c4"] == 1
+    assert (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_classifier"] + rep["dropped_lm"]
+        + rep["dropped_decontam"] + rep["dropped_fuzzy_decontam"]
+        + rep["dropped_exact_dup"] + rep["dropped_near_dup"]
+        + rep["kept_docs"]
+    ) == rep["input_docs"] == 3
+    # stage off → flag constant 1, bucket zero
+    rep_off = curation_report(curate(docs).annotated)
+    assert rep_off["dropped_fuzzy_decontam"] == 0
