@@ -856,6 +856,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_dsir_weights(spark, sf):
+        # DSIR (Xie et al. 2023): per-doc log importance weight under
+        # hashed uni+bigram multinomials — target = the src1-3 slice,
+        # raw = the whole corpus. Fit = one tiny groupBy per corpus +
+        # bounded 512-row collect; scoring = map-only integer sum of
+        # the quantized log-ratios (plan-asserted in tests/test_dsir).
+        from lens_spark.functions.dsir import (
+            dsir_log_ratios, dsir_log_weight,
+        )
+
+        docs = _docs(spark, sf)
+        target = docs.filter(
+            F.col("source").isin("src1", "src2", "src3")
+        )
+        lr = dsir_log_ratios(target, docs, dim=512)
+        return (
+            docs.select(
+                "doc_id",
+                dsir_log_weight(F.col("text"), lr, 512).alias("logw_q"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_dsir_sample(spark, sf):
+        # DSIR resampling: Gumbel top-k (sampling without replacement
+        # ∝ exp(log w)) with deterministic md5-uniform Gumbel noise —
+        # map-only scoring → TakeOrderedAndProject
+        from lens_spark.functions.dsir import (
+            dsir_log_ratios, dsir_resample,
+        )
+
+        docs = _docs(spark, sf)
+        target = docs.filter(
+            F.col("source").isin("src1", "src2", "src3")
+        )
+        lr = dsir_log_ratios(target, docs, dim=512)
+        return dsir_resample(
+            docs, lr, dim=512, k=100, seed="dsir-v1"
+        )
+
     def q_bpe_pair_counts(spark, sf):
         # adjacent-token-pair frequencies, top-100 — one BPE merge step
         # (Sennrich et al. 2016). Pair stream built JVM-side; top-k is
@@ -1283,6 +1323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": q_word_counts,
         "mixture_weights": q_mixture_weights,
         "sample_mixture": q_sample_mixture,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2791,6 +2833,76 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # DSIR: hashed uni+bigram multinomial fits (target = src1-3, raw =
+    # all docs, add-1 smoothing), per-bucket log-ratio quantized with
+    # ONE ln over an exactly-representable integer rational (glibc libm
+    # both sides — the Spark side computes it driver-side in Python),
+    # per-doc weight = exact integer sum over n-gram occurrences
+    _dsir_w = r"""
+        with t as (
+          select doc_id, source,
+                 list_filter(string_split_regex(
+                   replace(lower(text), 'ς', 'σ'), '\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        g as (
+          select doc_id, source,
+                 unnest(toks || list_transform(
+                   list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                   s -> s[1] || ' ' || s[2])) as gram
+          from t
+        ),
+        b as (
+          select doc_id, source,
+                 ('0x' || substr(md5(gram), 1, 8))::bigint % 512 as bkt
+          from g
+        ),
+        tc as (select bkt, count(*) as c from b
+               where source in ('src1','src2','src3') group by bkt),
+        qc as (select bkt, count(*) as c from b group by bkt),
+        tot as (
+          select (select count(*) from b
+                  where source in ('src1','src2','src3')) as tt,
+                 (select count(*) from b) as qt
+        ),
+        lr as (
+          select gs.bkt,
+                 floor(1000000.0 * ln(
+                   ((coalesce(tc.c, 0) + 1) * (tot.qt + 512))::double
+                   / ((coalesce(qc.c, 0) + 1) * (tot.tt + 512))::double
+                 ) + 0.5)::bigint as lrq
+          from (select unnest(generate_series(0, 511)) as bkt) gs
+          cross join tot
+          left join tc on tc.bkt = gs.bkt
+          left join qc on qc.bkt = gs.bkt
+        ),
+        w as (
+          select b.doc_id, sum(lr.lrq)::bigint as logw_q
+          from b join lr on lr.bkt = b.bkt
+          group by b.doc_id
+        ),
+        wq as (
+          select t.doc_id, coalesce(w.logw_q, 0) as logw_q
+          from t left join w on w.doc_id = t.doc_id
+        )
+    """
+    out["dsir_weights"] = (
+        _dsir_w + "select doc_id, logw_q from wq order by doc_id"
+    )
+    # Gumbel top-k: key = logw_q + 100·floor(10000·(−ln(−ln(u))) + ½),
+    # u = md5-uniform of ('dsir-v1', doc_id) — identical op order as
+    # functions/dsir.gumbel_key
+    out["dsir_sample"] = _dsir_w + r"""
+        select doc_id, logw_q,
+               (logw_q + 100 * floor(10000.0 * (-ln(-ln(
+                  (('0x' || substr(md5('dsir-v1:' ||
+                      cast(doc_id as varchar)), 1, 8))::bigint + 1)
+                  / 4294967297.0
+               ))) + 0.5)::bigint) as key_q
+        from wq
+        order by key_q desc, doc_id asc limit 100
+    """
     out["classifier_quality"] = f"""
         with w as (select {_w} as arr),
         t as (
