@@ -856,6 +856,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_bpe_learn(spark, sf):
+        # full BPE training (Sennrich et al. 2016) on the compact
+        # word-frequency table: the corpus is scanned once, every merge
+        # round aggregates adjacent pairs over the vocab table only.
+        # Oracle = frozen output of the single-process reference twin
+        # (scripts/freeze_bpe_oracle.py, the extract_full pattern).
+        from lens_spark.operators.bpe import learn_bpe
+
+        merges = learn_bpe(
+            _docs(spark, sf), "text", n_merges=40, min_count=2
+        )
+        return spark.createDataFrame(
+            [
+                (i, m[0], m[1], int(m[2]))
+                for i, m in enumerate(merges)
+            ],
+            "rank long, left string, right string, freq long",
+        ).orderBy("rank")
+
+    def q_bpe_tokens(spark, sf):
+        # BPE application with the table learned above: Arrow-batched
+        # word-memoized segmentation; projected to (count, md5 digest)
+        # per doc so the compare never ships token arrays
+        from lens_spark.operators.bpe import apply_bpe, learn_bpe
+
+        merges = learn_bpe(
+            _docs(spark, sf), "text", n_merges=40, min_count=2
+        )
+        return (
+            apply_bpe(_docs(spark, sf), merges, "text")
+            .select(
+                "doc_id",
+                F.size("bpe_tokens").cast("long").alias("n_tok"),
+                F.md5(F.array_join("bpe_tokens", "|")).alias("toks_md5"),
+            )
+            .orderBy("doc_id")
+        )
+
     def q_dsir_weights(spark, sf):
         # DSIR (Xie et al. 2023): per-doc log importance weight under
         # hashed uni+bigram multinomials — target = the src1-3 slice,
@@ -1325,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_mixture": q_sample_mixture,
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        "bpe_learn": q_bpe_learn,
+        "bpe_tokens": q_bpe_tokens,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2833,6 +2873,22 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # full BPE train/apply vs the frozen single-process reference
+    # (scripts/freeze_bpe_oracle.py — the extract_full pattern; the
+    # merge loop's argmax-then-rewrite rounds are not expressible as
+    # one SQL query, so the reference twin is the spec)
+    out["bpe_learn"] = """
+        select rank, "left", "right", freq
+        from read_parquet(
+          '/root/repo/tests/fixtures/bpe_merges_expected.parquet')
+        order by rank
+    """
+    out["bpe_tokens"] = """
+        select doc_id, n_tok, toks_md5
+        from read_parquet(
+          '/root/repo/tests/fixtures/bpe_tokens_expected.parquet')
+        order by doc_id
+    """
     # DSIR: hashed uni+bigram multinomial fits (target = src1-3, raw =
     # all docs, add-1 smoothing), per-bucket log-ratio quantized with
     # ONE ln over an exactly-representable integer rational (glibc libm
