@@ -856,6 +856,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_upsample_mixture(spark, sf):
+        # mixture materialization WITH upsampling (rate > 1 → multiple
+        # epochs): floor(rate) unconditional copies + one md5-gated
+        # fractional copy, epoch column keeps copies apart. target 5x
+        # the ~12k-token sf0.01 corpus so upsampling genuinely happens
+        from lens_spark.operators.mixing import upsample_mixture
+
+        return (
+            upsample_mixture(
+                _docs(spark, sf), "source", "doc_id",
+                target_tokens=60000, alpha=0.5,
+            )
+            .select("doc_id", "source", "epoch", "rate_q")
+            .orderBy("doc_id", "epoch")
+        )
+
+    def q_stratified_sample(spark, sf):
+        # exact-k deterministic per-group sample: k smallest
+        # (md5 bucket, id) keys per source — two-phase (map-only hash
+        # pre-filter, then the window sorts only the sliver)
+        from lens_spark.operators.mixing import stratified_sample
+
+        return (
+            stratified_sample(_docs(spark, sf), "source", "doc_id", k=10)
+            .select("doc_id", "source")
+            .orderBy("source", "doc_id")
+        )
+
     def q_bpe_learn(spark, sf):
         # full BPE training (Sennrich et al. 2016) on the compact
         # word-frequency table: the corpus is scanned once, every merge
@@ -1365,6 +1393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "bpe_learn": q_bpe_learn,
         "bpe_tokens": q_bpe_tokens,
+        "upsample_mixture": q_upsample_mixture,
+        "stratified_sample": q_stratified_sample,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2873,6 +2903,52 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # upsampling mixture: the sample_mixture weight CTE uncapped, with
+    # generate_series copy expansion — the identical IEEE op order as
+    # the Spark side (round(w,6) * target / gs * 1e6, then floor)
+    out["upsample_mixture"] = r"""
+        with g as (
+          select source,
+                 sum(len(list_filter(
+                     string_split_regex(text, '\s+'),
+                     t -> len(t) > 0)))::bigint as group_size
+          from documents group by source
+        ), r as (
+          select source,
+                 floor((round(power(group_size::double, 0.5)
+                    / sum(power(group_size::double, 0.5)) over (), 6)
+                    * 60000.0 / group_size::double)
+                   * 1000000.0)::bigint as rate_q
+          from g
+        ), n as (
+          select d.doc_id, d.source, r.rate_q,
+                 (r.rate_q // 1000000)
+                 + case when ('0x' || substr(md5(cast(d.doc_id as
+                       varchar)), 1, 8))::bigint % 1000000
+                       < r.rate_q % 1000000 then 1 else 0 end as copies
+          from documents d join r using(source)
+        )
+        select doc_id, source, unnest(generate_series(0, copies - 1))
+                 as epoch, rate_q
+        from n where copies >= 1
+        order by doc_id, epoch
+    """
+    # exact-k per-group sample: k smallest (md5 bucket, id) per source
+    out["stratified_sample"] = r"""
+        with b as (
+          select doc_id, source,
+                 ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                   ::bigint % 1000000 as bkt
+          from documents
+        ), rn as (
+          select doc_id, source,
+                 row_number() over (partition by source
+                                    order by bkt, doc_id) as rn
+          from b
+        )
+        select doc_id, source from rn where rn <= 10
+        order by source, doc_id
+    """
     # full BPE train/apply vs the frozen single-process reference
     # (scripts/freeze_bpe_oracle.py — the extract_full pattern; the
     # merge loop's argmax-then-rewrite rounds are not expressible as

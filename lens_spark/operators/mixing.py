@@ -162,3 +162,107 @@ def sample_mixture(
         df.join(F.broadcast(rates), on=group_col)
         .filter(bucket < F.col("rate_q"))
     )
+
+
+def _md5_bucket(id_col: str, space: int = 1_000_000) -> Column:
+    """Deterministic per-row bucket in [0, space): the sample_mixture
+    hash rule (md5 of the stable id — never rand())."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+            16, 10,
+        ).cast("long")
+        % space
+    )
+
+
+def upsample_mixture(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_tokens: int,
+    alpha: float = 0.5,
+    size_col: Column | None = None,
+) -> DataFrame:
+    """Mixture materialization WITH upsampling: where
+    :func:`sample_mixture` caps every group at one epoch (rate ≤ 1),
+    this emits ``rate > 1`` groups multiple times — the published
+    recipes upsample low-resource groups by fractional epoch counts
+    (The Pile's per-source epochs, XLM-R's temperature upsampling).
+
+    Each row is emitted ``floor(rate)`` times unconditionally plus one
+    more iff ``md5_bucket(id) < frac(rate)·1e6`` — expected copies =
+    rate, deterministic row-for-row. Output adds ``epoch`` (0-based
+    copy index, so downstream shuffles can keep copies apart) and the
+    group's ``rate_q`` (floor(rate·1e6)) for audit.
+
+    100 TB shape: identical to sample_mixture — one aggregation for the
+    tiny per-group rate table (genuine broadcast), then a map-only
+    sequence-explode; no corpus shuffle. Guard: sequence(0, n-1) is
+    only built when n ≥ 1 (ANSI sequence descends on inverted bounds).
+    """
+    w = mixture_weights(df, group_col, alpha=alpha, size_col=size_col)
+    rate = (
+        F.col("weight") * F.lit(float(target_tokens))
+        / F.col("group_size").cast("double")
+    )
+    rates = w.select(
+        group_col,
+        F.floor(rate * F.lit(1000000.0)).cast("long").alias("rate_q"),
+    )
+    n_copies = (F.col("rate_q") / 1000000).cast("long") + F.when(
+        _md5_bucket(id_col) < F.col("rate_q") % 1000000, 1
+    ).otherwise(0)
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .withColumn("epoch", F.explode(copies))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    oversample: int = 16,
+) -> DataFrame:
+    """EXACT-k deterministic sample per group: the k rows with the
+    smallest (md5_bucket, id) key in each group — reproducible across
+    runs, engines, and executor counts (no rand(), no partition-order
+    dependence).
+
+    100 TB shape — two-phase so the per-group window never sorts a
+    whole group: (1) one tiny groupBy for group sizes; (2) a MAP-ONLY
+    hash pre-filter keeping ≈ ``oversample × k`` expected rows per
+    group (skipped where the group is already ≤ oversample·k); (3) the
+    row_number window then runs over the pre-filtered sliver. The
+    pre-filter is exact-preserving when the group's k-th smallest
+    bucket clears the threshold — P[failure] ≤ exp(−(oversample−1)²k/
+    (2·oversample)) ≈ 1e-8 at the default; raise ``oversample`` for
+    stronger guarantees, or pass ``oversample=None``-like behavior by
+    setting it ≥ 1e6/k (threshold saturates and the filter keeps all)."""
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("__n_g"))
+    thresh = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.ceil(
+            F.lit(float(oversample * k)) * F.lit(1000000.0)
+            / F.col("__n_g").cast("double")
+        ).cast("long"),
+    )
+    thr = sizes.select(group_col, thresh.alias("__thr_q"))
+    bucket = _md5_bucket(id_col)
+    win = Window.partitionBy(group_col).orderBy(
+        bucket.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(thr), on=group_col)
+        .filter(bucket < F.col("__thr_q"))
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__thr_q", "__rn")
+    )

@@ -120,3 +120,72 @@ def test_sample_mixture_deterministic(spark):
     rq = {r["lang"]: r["rate_q"] for r in
           out.select("lang", "rate_q").distinct().collect()}
     assert rq == rate_q
+
+
+def test_upsample_mixture_reference(spark):
+    """upsample_mixture equals the python reference: floor(rate) full
+    copies + one fractional md5-gated copy; epochs 0..n-1; huge target
+    upsamples everything > 1 epoch."""
+    import hashlib
+
+    from lens_spark.operators.mixing import upsample_mixture
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "en", "word " * 20))
+    for i in range(40, 50):
+        rows.append((i, "de", "wort " * 10))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    target = 2000  # > corpus tokens: de (small group) upsamples past 1
+    sizes = {"en": 800, "de": 100}
+    pw = {g: s ** 0.5 for g, s in sizes.items()}
+    tot = sum(pw.values())
+    rate_q = {
+        g: int(round(pw[g] / tot, 6) * float(target) / s * 1e6 // 1)
+        for g, s in sizes.items()
+    }
+    want = {}
+    for i, g, _ in rows:
+        b = int(
+            hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+        ) % 1000000
+        n = rate_q[g] // 1000000 + (1 if b < rate_q[g] % 1000000 else 0)
+        if n:
+            want[i] = list(range(n))
+    out = upsample_mixture(df, "lang", "doc_id", target_tokens=target)
+    got = {}
+    for r in out.select("doc_id", "epoch").collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert {k: sorted(v) for k, v in got.items()} == want
+    # at least one group genuinely upsampled (epoch >= 1 present)
+    assert any(max(v) >= 1 for v in want.values())
+
+
+def test_stratified_sample_exact_k(spark):
+    """stratified_sample returns exactly min(k, group size) rows per
+    group — the k smallest (md5 bucket, id) keys, python-verified."""
+    import hashlib
+
+    from lens_spark.operators.mixing import stratified_sample
+
+    rows = [(i, "g" + str(i % 3), "t") for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    out = stratified_sample(df, "lang", "doc_id", k=5)
+    got = {}
+    for r in out.select("doc_id", "lang").collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    for g in ("g0", "g1", "g2"):
+        members = [i for i, gg, _ in rows if gg == g]
+        key = lambda i: (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % 1000000,
+            i,
+        )
+        want = set(sorted(members, key=key)[:5])
+        assert got[g] == want, g
+    # k above group size keeps the whole group
+    assert stratified_sample(df, "lang", "doc_id", k=100).count() == 90
