@@ -9,6 +9,7 @@ training-ready data):
         [--benchmark eval.parquet] \
         [--fuzzy-benchmark eval.parquet [--fuzzy-threshold T]] \
         [--lm-ppl-max X [--lm-train ref.parquet]] \
+        [--jsonl ROWS_PER_SHARD] \
         [--id-col doc_id] [--text-col text]
 
 Input: any parquet with an id column and a text column (the synthetic
@@ -29,9 +30,12 @@ Input: any parquet with an id column and a text column (the synthetic
 Output (plain parquet — curation output feeds a trainer's data loader,
 not the search store):
 
-    <out_dir>/curated/    — curated docs (or chunks with --chunk)
-    <out_dir>/annotated/  — every input doc + per-stage keep flags
-                            (the no-silent-drops audit trail)
+    <out_dir>/curated/       — curated docs (or chunks with --chunk)
+    <out_dir>/annotated/     — every input doc + per-stage keep flags
+                               (the no-silent-drops audit trail)
+    <out_dir>/curated_jsonl/ — with --jsonl N: sharded .jsonl.gz (≤N
+                               rows/shard) + MANIFEST.json, the
+                               trainer-loader handoff format
 
 Prints one JSON line ``CURATE_OK {...}`` with the one-pass
 curation_report stage-attrition accounting.
@@ -63,6 +67,7 @@ def run(
     fuzzy_threshold: float = 0.5,
     lm_ppl_max: float | None = None,
     lm_train=None,
+    jsonl_shard_rows: int | None = None,
 ) -> dict:
     """Curate ``docs`` into ``out`` and return the report dict.
 
@@ -90,6 +95,14 @@ def run(
             max_tokens=max_tokens, overlap=overlap,
         )
     final.write.mode("overwrite").parquet(f"{out}/curated")
+    if jsonl_shard_rows is not None:
+        from lens_spark.sources.export import export_jsonl
+
+        export_jsonl(
+            spark.read.parquet(f"{out}/curated"),
+            f"{out}/curated_jsonl",
+            rows_per_shard=jsonl_shard_rows,
+        )
     res.annotated.drop("c4", "pii").write.mode("overwrite").parquet(
         f"{out}/annotated"
     )
@@ -148,6 +161,9 @@ def main() -> None:
         lm_train=(
             spark.read.parquet(lt)
             if (lt := _flag("--lm-train")) is not None else None
+        ),
+        jsonl_shard_rows=(
+            int(js) if (js := _flag("--jsonl")) is not None else None
         ),
     )
     print("CURATE_OK " + json.dumps(report, sort_keys=True))
