@@ -123,3 +123,48 @@ def test_wordfreq_plan_single_shuffle(spark, docs):
     )
     assert plan.count("Exchange") <= 2  # partial agg + final (AQE pair)
     assert "Join" not in plan
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _corpus = st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFFF
+                ),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(texts=_corpus)
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_learn_and_apply_parity(spark, texts):
+        """Random unicode corpora (incl. astral plane): distributed
+        learn == reference learn, and distributed apply == reference
+        apply under the learned table. One Spark job per example."""
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        want = py_learn_bpe(texts, n_merges=5)
+        got = learn_bpe(df, "text", n_merges=5)
+        assert got == want
+        out = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in apply_bpe(df, want, "text").collect()
+        }
+        for i, t in enumerate(texts):
+            assert out[i] == py_apply_bpe(t, want), (i, t)
+except ImportError:  # pragma: no cover
+    pass

@@ -336,3 +336,49 @@ def test_estimated_partitions_plan_level(spark):
         is not None
     # non-file leaf: unknown → None (callers assume narrow)
     assert estimated_partitions(spark.range(100)) is None
+
+
+def test_upsample_and_stratified_plan_shape(docs):
+    from lens_spark.operators.mixing import (
+        stratified_sample, upsample_mixture,
+    )
+    from lens_spark.plans.inspect import formatted_plan
+
+    # upsample: the rate table is the only joined relation and it must
+    # come in as a broadcast (one row per group) — the corpus side never
+    # shuffles; copy expansion is a map-side explode
+    q = upsample_mixture(docs, "source", "doc_id", target_tokens=60000)
+    p = formatted_plan(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert plan_stats(q).python_stages == 0
+
+    # stratified: broadcast threshold join + ONE window; the window's
+    # shuffle moves only the pre-filtered sliver (the filter sits below
+    # the window exchange in the plan)
+    s = stratified_sample(docs, "source", "doc_id", k=5)
+    ps = formatted_plan(s)
+    assert "BroadcastHashJoin" in ps and "SortMergeJoin" not in ps
+    assert ps.count("Window") >= 1
+    assert plan_stats(s).python_stages == 0
+
+
+def test_dsir_fit_bounded_and_scoring_maponly(docs):
+    from lens_spark.functions.dsir import dsir_log_weight, ngram_buckets
+    from lens_spark.plans.inspect import formatted_plan
+
+    # fit-side count query: explode + groupBy on <= dim keys, no join
+    cnt = (
+        docs.select(F.explode(ngram_buckets(F.col("text"), 64)).alias("b"))
+        .groupBy("b").count()
+    )
+    assert_max_exchanges(cnt, 2)
+    assert "Join" not in formatted_plan(cnt)
+
+    # scoring: literal ratio table -> zero exchange, zero join
+    q = docs.select(
+        dsir_log_weight(F.col("text"), [0] * 64, 64).alias("w")
+    )
+    p = formatted_plan(q)
+    assert "Exchange" not in p and "Join" not in p
+    assert plan_stats(q).python_stages == 0
