@@ -856,6 +856,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_embedding_project(spark, sf):
+        # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
+        # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
+        # component), floor(x·1e4 + ½) quantization — the cheap dim
+        # reduction an ANN pipeline runs before clustering/LSH
+        from lens_spark.operators.similarity import project_embeddings
+
+        return (
+            project_embeddings(
+                _emb(spark, sf), "vec_id", "embedding",
+                dim_in=64, dim_out=8,
+            )
+            .orderBy("vec_id")
+        )
+
     def q_upsample_mixture(spark, sf):
         # mixture materialization WITH upsampling (rate > 1 → multiple
         # epochs): floor(rate) unconditional copies + one md5-gated
@@ -1395,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "upsample_mixture": q_upsample_mixture,
         "stratified_sample": q_stratified_sample,
+        "embedding_project": q_embedding_project,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2903,6 +2919,22 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # signed random projection: identical ±1 literals both sides (the
+    # centroid/_query_vec pattern), list_dot_product's accumulation
+    # order matches the Spark fold (proven by the green ann_cosine row)
+    from lens_spark.operators.similarity import projection_signs
+
+    _signs = projection_signs(64, 8)
+    _proj_terms = ", ".join(
+        "floor(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{float(s):.1f}" for s in row)
+        + "]) * 10000.0 + 0.5)::bigint"
+        for row in _signs
+    )
+    out["embedding_project"] = f"""
+        select vec_id, [{_proj_terms}] as proj_q
+        from embeddings order by vec_id
+    """
     # upsampling mixture: the sample_mixture weight CTE uncapped, with
     # generate_series copy expansion — the identical IEEE op order as
     # the Spark side (round(w,6) * target / gs * 1e6, then floor)

@@ -435,6 +435,63 @@ def quantize_int8(vec: Column) -> Column:
     return F.struct(scale.alias("scale"), q.alias("q"))
 
 
+def projection_signs(
+    dim_in: int, dim_out: int, seed: str = "proj-v1"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for random projection (Achlioptas
+    2003's database-friendly variant of Johnson–Lindenstrauss: entries
+    ±1 preserve pairwise distances within (1±ε) at dim_out = O(log n /
+    ε²)), derived from md5 so the identical literals embed in oracle
+    SQL (the _query_vec / centroid pattern). Returns dim_out rows of
+    dim_in signs."""
+    out = []
+    for j in range(dim_out):
+        row = []
+        for i in range(dim_in):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+            row.append(1 if h[0] % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def project_embeddings(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim_in: int,
+    dim_out: int = 16,
+    seed: str = "proj-v1",
+) -> DataFrame:
+    """Signed random projection of an embedding column to ``dim_out``
+    dims: out_j = Σ_i vec_i · sign_ij, quantized floor(x·1e4 + ½) —
+    the cheap JL dimensionality reduction a 100 TB ANN pipeline runs
+    before clustering/LSH (4x-16x less shuffle weight downstream).
+
+    Pure Catalyst, MAP-ONLY (the sign matrix rides in as literals —
+    no join, no shuffle); dim_out sibling dot-product aggregates in one
+    projection are lambda-collision-safe via hof.py's unique naming.
+    Returns (id_col, proj_q array<bigint>)."""
+    signs = projection_signs(dim_in, dim_out, seed)
+    comps = []
+    for j in range(dim_out):
+        sj = F.array(*[F.lit(float(s)) for s in signs[j]])
+        # each component builds from ONLY its own seeds (fresh lambdas
+        # per j) — sharing one lambda-built cast array across dim_out
+        # siblings would re-evaluate per consumer AND risk the Spark
+        # 4.1 lambda-name collision (functions/hof.py docstring)
+        dot = aggregate_u(
+            zip_with_u(
+                F.col(vec_col), sj, lambda x, s: x.cast("double") * s
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.floor(dot * 10000.0 + F.lit(0.5)).cast("long")
+        )
+    return df.select(F.col(id_col), F.array(*comps).alias("proj_q"))
+
+
 # ------------------------------------------------------------- SemDeDup
 def semdedup_pairs(
     df: DataFrame,

@@ -1024,3 +1024,44 @@ def test_minhash_contamination(spark):
     assert got[2]["fuzzy_contaminated"] == 1 and got[2]["n_agree"] >= 4
     assert (got[3]["n_agree"], got[3]["fuzzy_match_id"],
             got[3]["fuzzy_contaminated"]) == (0, -1, 0)
+
+
+def test_project_embeddings_matches_numpy(spark):
+    """Signed random projection == the numpy reference under identical
+    signs and floor(x*1e4+0.5) quantization; map-only plan."""
+    import math
+
+    from lens_spark.operators.similarity import (
+        project_embeddings, projection_signs,
+    )
+
+    rows = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 3.0 for j in range(8)])
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["proj_q"]
+        for r in project_embeddings(
+            df, "vec_id", "embedding", dim_in=8, dim_out=4
+        ).collect()
+    }
+    signs = projection_signs(8, 4)
+    for i, vec in rows:
+        # replicate float32 storage then double fold in index order
+        import struct as _s
+
+        v32 = [_s.unpack("f", _s.pack("f", x))[0] for x in vec]
+        want = []
+        for j in range(4):
+            acc = 0.0
+            for x, s in zip(v32, signs[j]):
+                acc += float(x) * float(s)
+            want.append(math.floor(acc * 10000.0 + 0.5))
+        assert out[i] == want, i
+    # map-only: no exchange, no join (sign matrix is literal)
+    plan = (
+        project_embeddings(df, "vec_id", "embedding", 8, 4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
