@@ -185,3 +185,79 @@ def test_sessionized_events_gap_semantics(spark):
         (1, 30, 0, 1),   # 11:30-12:00
         (2, 5, 35, 1),
     ]
+
+
+def test_streaming_quality_filter(spark, tmp_path):
+    """The curation tier's pure-Catalyst quality expressions (C4 +
+    Gopher flags, lang id, classifier score) run UNCHANGED on a
+    structured stream — stateless map-only stages are
+    streaming-compatible by construction, so an ingest pipeline can
+    pre-filter junk before it ever lands in the batch corpus."""
+    from lens_spark.functions.classifier import classifier_score
+    from lens_spark.functions.text import c4_clean, gopher_quality_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "away into the green forest tonight because it was hungry.\n"
+    ) * 6
+    rows = [
+        (1, good),
+        (2, "lorem ipsum dolor sit amet."),   # c4 lorem rule
+        (3, None),                            # null text
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src
+    )
+    from pyspark.sql import functions as F
+
+    c4 = c4_clean(F.col("text"), 3)
+    out = stream.select(
+        "doc_id",
+        F.coalesce(
+            (
+                (c4["n_kept"] > 0)
+                & (c4["has_lorem"] == 0)
+                & (c4["has_brace"] == 0)
+            ).cast("int"),
+            F.lit(0),
+        ).alias("c4_keep"),
+        F.coalesce(
+            gopher_quality_flags(c4["clean_text"])["keep"].cast("int"),
+            F.lit(0),
+        ).alias("gopher_keep"),
+        F.round(classifier_score(c4["clean_text"], dim=256), 4).alias(
+            "clf"
+        ),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qual_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r for r in spark.sql(
+            "select * from qual_stream"
+        ).collect()
+    }
+    assert got[1]["c4_keep"] == 1 and got[1]["gopher_keep"] == 1
+    assert got[2]["c4_keep"] == 0
+    assert got[3]["c4_keep"] == 0 and got[3]["gopher_keep"] == 0
+    # the scores equal the batch run of the same expressions
+    batch = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(src).select(
+            "doc_id",
+            F.round(classifier_score(
+                c4_clean(F.col("text"), 3)["clean_text"], dim=256
+            ), 4).alias("clf"),
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i]["clf"] == batch[i]["clf"]
