@@ -49,4 +49,10 @@ def get_spark(
         # core counts per-worker import cost dominates UDF-stage spin-up
         .config("spark.python.daemon.module", "lens_spark.worker_daemon")
     )
+    # ad-hoc overrides without code edits (perf A/B, cluster tuning):
+    # LENS_EXTRA_CONF="spark.shuffle.compress=false;spark.foo=bar"
+    extra = os.environ.get("LENS_EXTRA_CONF", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
