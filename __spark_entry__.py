@@ -868,6 +868,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_dedup_increment(spark, sf):
+        # incremental exact dedup: classify a NEW increment against the
+        # STORED digest index (corpus never rescanned) — corpus = docs
+        # < 400; increment = the rest + planted corpus copies (+1000)
+        # and within-increment copies (+2000)
+        from lens_spark.operators.dedup import (
+            exact_dedup, exact_dedup_increment,
+        )
+
+        docs = _docs(spark, sf)
+        index = exact_dedup(
+            docs.filter(F.col("doc_id") < 400), "doc_id", "text"
+        )
+        new = (
+            docs.filter(F.col("doc_id") >= 400)
+            .select("doc_id", "text")
+            .unionAll(
+                docs.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 1000).alias("doc_id"), "text"
+                )
+            )
+            .unionAll(
+                docs.filter(
+                    (F.col("doc_id") >= 400) & (F.col("doc_id") < 450)
+                ).select(
+                    (F.col("doc_id") + 2000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return exact_dedup_increment(
+            new, index, "doc_id", "text"
+        ).orderBy("id")
+
+    def q_minhash_increment(spark, sf):
+        # incremental near-dup: new docs probe the stored banded-LSH
+        # index — near-copies (appended tail) of corpus docs surface as
+        # (new, corpus) candidates; the corpus is never re-shingled
+        from lens_spark.operators.dedup import (
+            minhash_band_rows, minhash_increment,
+        )
+
+        docs = _docs(spark, sf)
+        stored = minhash_band_rows(
+            docs.filter(F.col("doc_id") < 200), "doc_id", "text",
+            num_hashes=8, bands=4,
+        )
+        new = (
+            docs.filter(F.col("doc_id") < 20)
+            .select(
+                (F.col("doc_id") + 1000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq tail marker"))
+                .alias("text"),
+            )
+            .unionAll(
+                docs.filter(
+                    (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+                ).select("doc_id", "text")
+            )
+        )
+        return minhash_increment(
+            new, stored, "doc_id", "text", num_hashes=8, bands=4
+        ).orderBy("new_id", "corpus_id")
+
     def q_embedding_project(spark, sf):
         # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
         # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
@@ -1433,6 +1496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample_mixture": q_upsample_mixture,
         "stratified_sample": q_stratified_sample,
         "embedding_project": q_embedding_project,
+        "dedup_increment": q_dedup_increment,
+        "minhash_increment": q_minhash_increment,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -2941,6 +3006,95 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # incremental exact dedup: the stored-index probe replicated —
+    # same normalize/md5 rule as dedup_exact, same left-join semantics
+    out["dedup_increment"] = r"""
+        with ex as (
+          select md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   as fingerprint,
+                 min(doc_id) as rep_id
+          from documents where doc_id < 400 group by 1
+        ), new as (
+          select doc_id as id, text from documents where doc_id >= 400
+          union all
+          select doc_id + 1000, text from documents where doc_id < 50
+          union all
+          select doc_id + 2000, text from documents
+          where doc_id >= 400 and doc_id < 450
+        ), nd as (
+          select id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   as fingerprint
+          from new
+        ), f as (
+          select id, fingerprint,
+                 min(id) over (partition by fingerprint) as first_id
+          from nd
+        )
+        select f.id, f.fingerprint,
+               case when ex.rep_id is not null then 'corpus_dup'
+                    when f.id != f.first_id then 'increment_dup'
+                    else 'unique' end as status,
+               case when ex.rep_id is not null then ex.rep_id
+                    when f.id != f.first_id then f.first_id
+                    else -1 end as dup_of
+        from f left join ex using(fingerprint)
+        order by f.id
+    """
+    # incremental minhash: stored band rows (docs < 200) probed by the
+    # increment's band rows — the dedup_minhash_lsh band machinery on
+    # both sides, increment-side hot-bucket cap only
+    out["minhash_increment"] = r"""
+        with corpus as (
+          select doc_id, text from documents where doc_id < 200
+        ), newd as (
+          select doc_id + 1000 as doc_id, text || ' zq tail marker'
+                   as text
+          from documents where doc_id < 20
+          union all
+          select doc_id, text from documents
+          where doc_id >= 200 and doc_id < 250
+        ), all_docs as (
+          select 0 as side, doc_id, text from corpus
+          union all
+          select 1 as side, doc_id, text from newd
+        ), toks as (
+          select side, doc_id,
+                 list_filter(string_split(trim(regexp_replace(
+                   lower(text), '\s+', ' ', 'g')), ' '),
+                   t -> len(t) > 0) as tk
+          from all_docs
+        ), sh as (
+          select side, doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        ), sigs as (
+          select side, doc_id,
+            [list_min(list_transform(shingles,
+                s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from sh
+        ), bands as (
+          select side, doc_id, b as band_no,
+                 md5(array_to_string(sig[2*b+1:2*b+2], '|')) as bucket
+          from sigs, unnest([0,1,2,3]) as t(b)
+        ), nb as (
+          select doc_id, band_no, bucket from bands where side = 1
+        ), nb_ok as (
+          select * from nb where (band_no, bucket) in (
+            select (band_no, bucket) from nb
+            group by band_no, bucket having count(*) <= 200)
+        )
+        select distinct nb_ok.doc_id as new_id,
+               b.doc_id as corpus_id
+        from nb_ok join bands b
+          on b.side = 0 and b.band_no = nb_ok.band_no
+         and b.bucket = nb_ok.bucket
+        order by new_id, corpus_id
+    """
     # signed random projection: identical ±1 literals both sides (the
     # centroid/_query_vec pattern), list_dot_product's accumulation
     # order matches the Spark fold (proven by the green ann_cosine row)

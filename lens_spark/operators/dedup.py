@@ -29,7 +29,7 @@ algebra.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from lens_spark.functions.hof import (
     aggregate_u, transform_u, zip_with_u,
@@ -226,25 +226,20 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
-    max_bucket: int = 200,
     hash_fn: str = "md5",
-    observation=None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash-LSH.
-
-    Returns (id_a, id_b) with id_a < id_b, distinct. ``max_bucket`` guards
-    against degenerate buckets (empty/boilerplate shingle sets) turning
-    the bucket join quadratic — capped buckets are dropped (logged-by-
-    construction: a capped bucket means those docs are near-identical to
-    >max_bucket others and will be caught by exact dedup instead).
-    Pass an ``Observation`` to meter the drop (observe_cap_drops)."""
+    """The banded-LSH index rows for a corpus: (id, band_no, bucket) —
+    one row per doc per band. This is both `minhash_lsh_pairs`'s
+    map-side stage and the STORED near-dup index an incremental
+    pipeline persists next to the corpus (see `minhash_increment`).
+    Map-only: signature + banding are pure projections."""
     rows_per_band = num_hashes // bands
     # parallelize the map-side signature compute (see ensure_parallelism)
     df = ensure_parallelism(df)
@@ -288,12 +283,36 @@ def minhash_lsh_pairs(
         ).alias(f"band_{b}")
 
     with_bands = shingled.select("id", *[band_col(b) for b in range(bands)])
-    stacked = with_bands.selectExpr(
+    return with_bands.selectExpr(
         "id",
         "stack({}, {}) as (band_no, bucket)".format(
             bands,
             ", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+    hash_fn: str = "md5",
+    observation=None,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. ``max_bucket`` guards
+    against degenerate buckets (empty/boilerplate shingle sets) turning
+    the bucket join quadratic — capped buckets are dropped (logged-by-
+    construction: a capped bucket means those docs are near-identical to
+    >max_bucket others and will be caught by exact dedup instead).
+    Pass an ``Observation`` to meter the drop (observe_cap_drops)."""
+    stacked = minhash_band_rows(
+        df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
     )
     # NO self-join (round-2 redesign): Spark 4.1 plans a bucket self-join
     # with either a BroadcastExchange or two independent shuffle subtrees
@@ -307,8 +326,6 @@ def minhash_lsh_pairs(
     # BEFORE the groupBy drops degenerate buckets without materializing
     # their arrays (same partitioning as the groupBy — no extra shuffle;
     # the window's row buffer spills, an array would not).
-    from pyspark.sql import Window
-
     w = Window.partitionBy("band_no", "bucket")
     sized = (
         observe_cap_drops(
@@ -326,6 +343,111 @@ def minhash_lsh_pairs(
     return (
         buckets.select(F.explode(pair_structs(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------- incremental
+def exact_dedup_increment(
+    new_docs: DataFrame,
+    existing: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Classify a NEW increment against an already-deduped corpus
+    WITHOUT re-deduping the corpus — the operational shape of a 100 TB
+    ingest: the stored digest index (``existing``: (fingerprint,
+    rep_id), i.e. `exact_dedup`'s output maintained at write time) is
+    probed once per increment; the petabytes behind it are never
+    rescanned.
+
+    Returns one row per new doc: (id, fingerprint, status, dup_of) —
+    status ∈ {'corpus_dup', 'increment_dup', 'unique'}; dup_of = the
+    stored rep_id for corpus dups, the increment's first id for
+    within-increment dups, −1 for uniques (sentinel, not NULL — the
+    nullable-int hash-compare rule).
+
+    Plan: one increment-sized window (first-id per digest) + ONE
+    equi-join against the index — the increment side is small, so AQE
+    broadcasts it and the stored index streams through map-side without
+    a shuffle; with the digest-bucketed LensTable layout the probe
+    prunes to matching buckets."""
+    nd = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("id")
+    nd = nd.withColumn("first_id", F.min("id").over(w))
+    joined = nd.join(
+        existing.select("fingerprint", F.col("rep_id").alias("__rep")),
+        on="fingerprint",
+        how="left",
+    )
+    status = (
+        F.when(F.col("__rep").isNotNull(), F.lit("corpus_dup"))
+        .when(F.col("id") != F.col("first_id"), F.lit("increment_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    dup_of = (
+        F.when(F.col("__rep").isNotNull(), F.col("__rep"))
+        .when(F.col("id") != F.col("first_id"), F.col("first_id"))
+        .otherwise(F.lit(-1).cast("long"))
+    )
+    return joined.select(
+        "id",
+        "fingerprint",
+        status.alias("status"),
+        dup_of.cast("long").alias("dup_of"),
+    )
+
+
+def minhash_increment(
+    new_docs: DataFrame,
+    band_table: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidates of a NEW increment against the STORED
+    banded-LSH index (``band_table``: (id, band_no, bucket) from
+    `minhash_band_rows`, persisted next to the corpus) — the fuzzy
+    complement of `exact_dedup_increment`. The corpus is never
+    re-shingled: only its band rows are probed.
+
+    Returns distinct (new_id, corpus_id) candidate pairs (standard LSH
+    recall contract: a pair sharing no band never surfaces).
+    ``max_bucket`` drops degenerate hot buckets on the increment side
+    (the stored table is assumed cap-maintained at build time — pairs
+    against >max_bucket-hot buckets are boilerplate, not near-dups).
+
+    Plan: map-only banding of the increment, one equi-join on
+    (band_no, bucket) — increment side small → AQE broadcast, the index
+    streams; one distinct."""
+    nb = minhash_band_rows(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
+    )
+    w = Window.partitionBy("band_no", "bucket")
+    nb = (
+        nb.withColumn("__n", F.count("*").over(w))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    return (
+        nb.select(
+            F.col("id").alias("new_id"), "band_no", "bucket"
+        )
+        .join(
+            band_table.select(
+                F.col("id").alias("corpus_id"), "band_no", "bucket"
+            ),
+            on=["band_no", "bucket"],
+            how="inner",
+        )
+        .select("new_id", "corpus_id")
         .distinct()
     )
 

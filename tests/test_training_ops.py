@@ -1065,3 +1065,76 @@ def test_project_embeddings_matches_numpy(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_exact_dedup_increment(spark):
+    """Increment classification against a stored digest index: corpus
+    dup → stored rep, within-increment dup → first id, else unique."""
+    from lens_spark.operators.dedup import (
+        exact_dedup, exact_dedup_increment,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    index = exact_dedup(corpus, "doc_id", "text")  # (fingerprint, rep_id)
+    new = spark.createDataFrame(
+        [
+            (10, "alpha  BETA"),   # corpus dup (normalized)
+            (11, "fresh text one"),
+            (12, "fresh text one"),  # increment dup of 11
+            (13, "entirely new"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["status"], r["dup_of"])
+        for r in exact_dedup_increment(new, index, "doc_id", "text")
+        .collect()
+    }
+    assert got[10] == ("corpus_dup", 1)
+    assert got[11] == ("unique", -1)
+    assert got[12] == ("increment_dup", 11)
+    assert got[13] == ("unique", -1)
+
+
+def test_minhash_increment(spark):
+    """New docs probe the stored band table: a near-copy of a corpus
+    doc surfaces as a (new, corpus) candidate; unrelated text doesn't.
+    Candidates equal re-running full LSH over corpus+increment and
+    keeping only cross pairs (same params, no caps hit)."""
+    from lens_spark.operators.dedup import (
+        minhash_band_rows, minhash_increment, minhash_lsh_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank every single morning before the sun rises over the hills"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words about cooking pasta "
+                        "with tomatoes garlic and fresh basil leaves")],
+        "doc_id long, text string",
+    )
+    stored = minhash_band_rows(corpus, "doc_id", "text")
+    new = spark.createDataFrame(
+        [(10, base + " tail"), (11, "unrelated quantum physics lecture "
+                                    "notes on entanglement and qubits")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in minhash_increment(new, stored, "doc_id", "text")
+        .collect()
+    }
+    assert (10, 1) in got
+    assert not any(n == 11 for n, _ in got)
+    # cross-check vs full-corpus LSH restricted to cross pairs
+    both = corpus.union(new)
+    full = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in minhash_lsh_pairs(both, "doc_id", "text").collect()
+        if (r["id_a"] >= 10) != (r["id_b"] >= 10)
+    }
+    assert got == full
