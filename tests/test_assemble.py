@@ -68,3 +68,56 @@ def test_plain_passthrough(spark, docs, tmp_path):
     rep = run(spark, docs, out)
     assert rep["output_rows"] == rep["input_docs"] == 75
     assert "jsonl" not in rep
+
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "every single morning before the sun rises over the green hills "
+    "while the birds are singing their favourite songs in the trees"
+)
+
+
+def test_dedup_job_incremental_loop(spark, tmp_path):
+    """Two increments through jobs/dedup_job.run: the second increment's
+    copies of first-increment content classify corpus_dup against the
+    maintained index; re-running increment 1 is idempotent (all
+    corpus_dup, index unchanged)."""
+    from jobs.dedup_job import run
+
+    idx = str(tmp_path / "index")
+    inc1 = spark.createDataFrame(
+        [
+            (1, _BASE),
+            (2, "completely different cooking text with pasta basil"),
+            (3, _BASE),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run(spark, inc1, idx, str(tmp_path / "o1"), minhash=True)
+    assert r1["unique"] == 2 and r1["increment_dup"] == 1
+    assert r1["corpus_dup"] == 0 and r1["index_added"] == 2
+    assert r1["neardup_candidates"] == 0  # index was empty at probe
+
+    inc2 = spark.createDataFrame(
+        [
+            (10, _BASE),
+            (11, "brand new content in the second batch of documents"),
+            (12, _BASE + " with a small appended tail"),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = run(spark, inc2, idx, str(tmp_path / "o2"), minhash=True)
+    assert r2["corpus_dup"] == 1 and r2["unique"] == 2
+    assert r2["index_added"] == 2
+    # near-dup probe caught the tailed copy against stored doc 1
+    cand = {
+        (r["new_id"], r["corpus_id"])
+        for r in spark.read.parquet(
+            str(tmp_path / "o2/neardup_candidates")
+        ).collect()
+    }
+    assert (12, 1) in cand
+    # idempotency: re-run increment 1 — everything already stored
+    r3 = run(spark, inc1, idx, str(tmp_path / "o3"), minhash=True)
+    assert r3["corpus_dup"] == 3 and r3["unique"] == 0
+    assert r3["index_added"] == 0
