@@ -868,6 +868,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_quality_profile(spark, sf):
+        # per-source corpus quality profile — the dataset-card numbers a
+        # curation run reports per slice: volume (docs/tokens/chars),
+        # content diversity (distinct normalized fingerprints), learned
+        # quality mass (sum of quantized classifier probs — exact
+        # integer sum, engine-independent). One map-side-combinable
+        # groupBy over the corpus; every fragment is an already-proven
+        # oracle expression.
+        from lens_spark.functions.classifier import classifier_score
+        from lens_spark.functions.text import normalize_text, ws_tokens
+
+        prob_q = F.floor(
+            classifier_score(F.col("text"), dim=256) * 10000
+        ).cast("long")
+        return (
+            _docs(spark, sf)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size(ws_tokens(F.col("text"))))
+                .cast("long").alias("tokens"),
+                F.sum(F.length("text")).cast("long").alias("chars"),
+                F.countDistinct(
+                    F.md5(normalize_text(F.col("text")))
+                ).alias("uniq_contents"),
+                F.sum(prob_q).alias("clf_q_sum"),
+            )
+            .orderBy("source")
+        )
+
     def q_dedup_increment(spark, sf):
         # incremental exact dedup: classify a NEW increment against the
         # STORED digest index (corpus never rescanned) — corpus = docs
@@ -1498,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": q_embedding_project,
         "dedup_increment": q_dedup_increment,
         "minhash_increment": q_minhash_increment,
+        "quality_profile": q_quality_profile,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
         "lm_ppl_buckets": q_lm_ppl_buckets,
@@ -3006,6 +3037,48 @@ def oracle_sql() -> dict[str, str]:
     from lens_spark.functions.classifier import linear_weights
 
     _w = "[" + ", ".join(str(x) for x in linear_weights(256)) + "]"
+    # per-source quality profile: every fragment reuses an
+    # already-green oracle expression (ws tokens, normalize/md5,
+    # classifier sigmoid with the identical IEEE op order)
+    out["quality_profile"] = f"""
+        with w as (select {_w} as arr),
+        t as (
+          select doc_id, source, text,
+                 list_filter(string_split_regex(
+                   replace(lower(text), 'ς', 'σ'), '\\s+'),
+                             x -> len(x) > 0) as ntoks,
+                 list_filter(string_split_regex(text, '\\s+'),
+                             x -> len(x) > 0) as toks
+          from documents
+        ),
+        tok as (select doc_id, unnest(ntoks) as tk from t),
+        s as (
+          select doc_id,
+                 sum(w.arr[
+                   (('0x' || substr(md5(tk), 1, 8))::bigint % 256) + 1
+                 ])::bigint as sum_w,
+                 count(*)::bigint as n_tok
+          from tok, w group by doc_id
+        ),
+        p as (
+          select t.doc_id, t.source, len(t.toks) as n_tok_ws,
+                 length(t.text) as n_chars,
+                 md5(trim(regexp_replace(lower(t.text), '\\s+', ' ',
+                                         'g'))) as fp,
+                 floor((1.0 / (1.0 + exp(-(
+                   coalesce(s.sum_w, 0)
+                   / (1000.0 * greatest(coalesce(s.n_tok, 0), 1))
+                 )))) * 10000.0)::bigint as prob_q
+          from t left join s on s.doc_id = t.doc_id
+        )
+        select source,
+               count(*) as n_docs,
+               sum(n_tok_ws)::bigint as tokens,
+               sum(n_chars)::bigint as chars,
+               count(distinct fp) as uniq_contents,
+               sum(prob_q)::bigint as clf_q_sum
+        from p group by source order by source
+    """
     # incremental exact dedup: the stored-index probe replicated —
     # same normalize/md5 rule as dedup_exact, same left-join semantics
     out["dedup_increment"] = r"""
