@@ -118,6 +118,38 @@ def main() -> None:
     timed("curate_full", lambda: extra.__setitem__(
         "curated_rows", rows_and_bytes(q_curate, ["text"])))
 
+    # round-5 ops: full BPE training (the merge loop IS the work — no
+    # pre-built plan to reuse), BPE application, DSIR fit+score
+    from lens_spark.functions.dsir import (
+        dsir_log_ratios, dsir_log_weight,
+    )
+    from lens_spark.operators.bpe import apply_bpe, learn_bpe
+
+    def run_bpe_learn():
+        extra["bpe_merges"] = len(
+            learn_bpe(docs, "text", n_merges=30, min_count=2)
+        )
+
+    timed("bpe_learn30", run_bpe_learn)
+    merges = learn_bpe(docs, "text", n_merges=30, min_count=2)
+    q_apply = apply_bpe(docs, merges, "text").select(
+        F.size("bpe_tokens").alias("n")
+    )
+    timed("bpe_apply", lambda: extra.__setitem__(
+        "bpe_tokens_total",
+        int(q_apply.agg(F.sum("n").alias("s")).collect()[0]["s"])))
+
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def run_dsir():
+        lr = dsir_log_ratios(target, docs, "text", dim=512)
+        r = docs.select(
+            dsir_log_weight(F.col("text"), lr, 512).alias("w")
+        ).agg(F.sum("w").alias("s")).collect()[0]
+        extra["dsir_wsum"] = int(r["s"])
+
+    timed("dsir_fit_score", run_dsir)
+
     total = round(sum(timings.values()), 3)
     extra["docs_per_sec_curate"] = (
         round(n_docs / timings["curate_full"], 1)
