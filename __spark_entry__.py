@@ -961,6 +961,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             new, stored, "doc_id", "text", num_hashes=8, bands=4
         ).orderBy("new_id", "corpus_id")
 
+    def q_bloom_probe(spark, sf):
+        # Bloom pre-filter for incremental exact dedup: corpus docs
+        # < 400 build the (word_idx, bits) filter table, the increment
+        # (docs >= 400 + planted corpus copies at +1000) probes it —
+        # pure-Catalyst md5 bit math, so the oracle replays the EXACT
+        # filter (false positives included); copies must always hit
+        # (no false negatives)
+        from lens_spark.operators.bloom import bloom_build, bloom_probe
+
+        docs = _docs(spark, sf)
+        bloom = bloom_build(
+            docs.filter(F.col("doc_id") < 400), "text", 8192, 5
+        )
+        new = (
+            docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+            .unionAll(
+                docs.filter(F.col("doc_id") < 50).select(
+                    (F.col("doc_id") + 1000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return bloom_probe(
+            new, bloom, "doc_id", "text", 8192, 5
+        ).orderBy("id")
+
     def q_embedding_project(spark, sf):
         # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
         # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
@@ -1528,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": q_embedding_project,
         "dedup_increment": q_dedup_increment,
         "minhash_increment": q_minhash_increment,
+        "bloom_probe": q_bloom_probe,
         "quality_profile": q_quality_profile,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
@@ -3113,6 +3139,44 @@ def oracle_sql() -> dict[str, str]:
                     else -1 end as dup_of
         from f left join ex using(fingerprint)
         order by f.id
+    """
+    # Bloom pre-filter probe: the oracle replays the EXACT bit math —
+    # k=5 positions per digest via md5(fingerprint:j) folded to 60 bits
+    # mod m=8192 — as distinct-position set membership (bit-identical
+    # to the (word_idx, bits) word-table check, false positives
+    # included)
+    out["bloom_probe"] = r"""
+        with js as (select j from range(0, 5) t(j)),
+        cfp as (
+          select md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   as f
+          from documents where doc_id < 400
+        ), cpos as (
+          select distinct
+                 ('0x' || substr(md5(f || ':' || j), 1, 15))::bigint
+                   % 8192 as pos
+          from cfp cross join js
+        ), newd as (
+          select doc_id as id, text from documents where doc_id >= 400
+          union all
+          select doc_id + 1000, text from documents where doc_id < 50
+        ), nf as (
+          select id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   as fingerprint
+          from newd
+        ), np as (
+          select id, fingerprint,
+                 ('0x' || substr(md5(fingerprint || ':' || j), 1, 15))
+                   ::bigint % 8192 as pos
+          from nf cross join js
+        )
+        select np.id, np.fingerprint,
+               min(case when cpos.pos is not null then 1 else 0 end)
+                 ::int as bloom_hit
+        from np left join cpos using(pos)
+        group by np.id, np.fingerprint
+        order by np.id
     """
     # incremental minhash: stored band rows (docs < 200) probed by the
     # increment's band rows — the dedup_minhash_lsh band machinery on
