@@ -986,6 +986,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             new, bloom, "doc_id", "text", 8192, 5
         ).orderBy("id")
 
+    def _synth_url():
+        # deterministic URL synthesis from (doc_id, source) — the
+        # documents table has no URL column, so BOTH engines build the
+        # same string (four shapes: www+path, co.uk+port, bare org,
+        # deep cdn subdomain)
+        m = F.col("doc_id") % 4
+        did = F.col("doc_id").cast("string")
+        return (
+            F.when(m == 0, F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/p/"), did))
+            .when(m == 1, F.concat(
+                F.lit("http://blog."), F.col("source"),
+                F.lit(".co.uk:8080/a/"), did))
+            .when(m == 2, F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".org")))
+            .otherwise(F.concat(
+                F.lit("http://cdn"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".media."), F.col("source"),
+                F.lit(".net/img/"), did))
+        )
+
+    def q_url_parse(spark, sf):
+        # scheme/host/port/path + registered domain (public-suffix-lite
+        # co.uk handling) — map-only regexp/split built-ins, port -1
+        # sentinel for "none"
+        from lens_spark.functions.urls import registered_domain, url_parse
+
+        u = url_parse(_synth_url())
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                u["scheme"].alias("scheme"),
+                u["host"].alias("host"),
+                u["port"].alias("port"),
+                u["path"].alias("path"),
+                registered_domain(u["host"]).alias("domain"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def q_domain_caps(spark, sf):
+        # per-registered-domain exact-k cap (k=15): the md5-keyed
+        # deterministic corpus governor over the synthesized URL column
+        from lens_spark.functions.urls import domain_caps
+
+        docs = _docs(spark, sf).withColumn("url", _synth_url())
+        return (
+            domain_caps(docs, "url", "doc_id", k=15)
+            .select("doc_id", "domain")
+            .orderBy("domain", "doc_id")
+        )
+
     def q_embedding_project(spark, sf):
         # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
         # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
@@ -1554,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_increment": q_dedup_increment,
         "minhash_increment": q_minhash_increment,
         "bloom_probe": q_bloom_probe,
+        "url_parse": q_url_parse,
+        "domain_caps": q_domain_caps,
         "quality_profile": q_quality_profile,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
@@ -3177,6 +3233,78 @@ def oracle_sql() -> dict[str, str]:
         from np left join cpos using(pos)
         group by np.id, np.fingerprint
         order by np.id
+    """
+    # URL synthesis + parse + registered domain: the same four URL
+    # shapes built from (doc_id, source), the same RE2 regexp, the same
+    # public-suffix-lite label rules (generic SLD under 2-letter cc →
+    # 3 labels)
+    _url_case = r"""
+          case doc_id % 4
+            when 0 then 'https://www.' || source || '.example.com/p/'
+                        || cast(doc_id as varchar)
+            when 1 then 'http://blog.' || source || '.co.uk:8080/a/'
+                        || cast(doc_id as varchar)
+            when 2 then 'https://' || source || '.org'
+            else 'http://cdn' || cast(doc_id % 7 as varchar)
+                 || '.media.' || source || '.net/img/'
+                 || cast(doc_id as varchar)
+          end
+    """
+    _url_regex = r"^([a-z][a-z0-9+.-]*)://([^/:?#]+)(?::([0-9]+))?([^?#]*)"
+    _domain_case = r"""
+          case when len(ls) < 2 then host
+               when len(ls) >= 3
+                    and ls[len(ls)-1] in ('co','com','net','org',
+                                          'gov','ac','edu','mil')
+                    and len(ls[len(ls)]) = 2
+                 then array_to_string(ls[len(ls)-2:len(ls)], '.')
+               else array_to_string(ls[len(ls)-1:len(ls)], '.') end
+    """
+    out["url_parse"] = f"""
+        with u as (
+          select doc_id, lower(trim({_url_case})) as url from documents
+        ), p as (
+          select doc_id,
+                 regexp_extract(url, '{_url_regex}', 1) as scheme,
+                 regexp_extract(url, '{_url_regex}', 2) as host,
+                 regexp_extract(url, '{_url_regex}', 3) as port_s,
+                 regexp_extract(url, '{_url_regex}', 4) as path
+          from u
+        ), d as (
+          select doc_id, scheme, host,
+                 case when port_s = '' then -1
+                      else port_s::int end as port,
+                 path, string_split(host, '.') as ls
+          from p
+        )
+        select doc_id, scheme, host, port::int as port, path,
+               {_domain_case} as domain
+        from d order by doc_id
+    """
+    # per-domain exact-k cap: row_number over (md5 bucket, doc_id)
+    # within registered domain — the stratified_sample key rule
+    out["domain_caps"] = f"""
+        with u as (
+          select doc_id, lower(trim({_url_case})) as url from documents
+        ), d as (
+          select doc_id,
+                 string_split(
+                   regexp_extract(url, '{_url_regex}', 2), '.') as ls,
+                 regexp_extract(url, '{_url_regex}', 2) as host
+          from u
+        ), dom as (
+          select doc_id, {_domain_case} as domain from d
+        ), rn as (
+          select doc_id, domain,
+                 row_number() over (
+                   partition by domain
+                   order by ('0x' || substr(md5(cast(doc_id as varchar)),
+                                            1, 8))::bigint % 1000000,
+                            doc_id) as rn
+          from dom
+        )
+        select doc_id, domain from rn where rn <= 15
+        order by domain, doc_id
     """
     # incremental minhash: stored band rows (docs < 200) probed by the
     # increment's band rows — the dedup_minhash_lsh band machinery on
