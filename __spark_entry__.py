@@ -1040,6 +1040,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("domain", "doc_id")
         )
 
+    def q_corpus_shuffle(spark, sf):
+        # deterministic trainer-side global shuffle: (shard, pos) from
+        # md5(seed:doc_id) — one hash shuffle + per-shard sort,
+        # executor-count independent
+        from lens_spark.operators.mixing import corpus_shuffle
+
+        return (
+            corpus_shuffle(_docs(spark, sf), "doc_id", 8, seed="42")
+            .select("doc_id", "shard", "pos")
+            .orderBy("shard", "pos")
+        )
+
     def q_embedding_project(spark, sf):
         # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
         # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
@@ -1610,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "url_parse": q_url_parse,
         "domain_caps": q_domain_caps,
+        "corpus_shuffle": q_corpus_shuffle,
         "quality_profile": q_quality_profile,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
@@ -3233,6 +3246,23 @@ def oracle_sql() -> dict[str, str]:
         from np left join cpos using(pos)
         group by np.id, np.fingerprint
         order by np.id
+    """
+    # deterministic global shuffle: shard = top-32 md5 bits mod 8,
+    # pos = row_number within shard over (md5 key, doc_id)
+    out["corpus_shuffle"] = r"""
+        with k as (
+          select doc_id,
+                 md5('42:' || cast(doc_id as varchar)) as key
+          from documents
+        ), s as (
+          select doc_id, key,
+                 (('0x' || substr(key, 1, 8))::bigint % 8)::int as shard
+          from k
+        )
+        select doc_id, shard,
+               (row_number() over (partition by shard
+                                   order by key, doc_id))::int as pos
+        from s order by shard, pos
     """
     # URL synthesis + parse + registered domain: the same four URL
     # shapes built from (doc_id, source), the same RE2 regexp, the same

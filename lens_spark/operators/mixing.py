@@ -266,3 +266,43 @@ def stratified_sample(
         .filter(F.col("__rn") <= k)
         .drop("__thr_q", "__rn")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the last step before
+    handing a corpus to a trainer. Every doc gets a (shard, pos)
+    address from md5(seed ':' id): uniformly mixed (adjacent corpus
+    rows land in unrelated shards), reproducible across runs, engines,
+    and executor counts (no rand(), no partition-order dependence),
+    and re-keyable per epoch by changing ``seed``.
+
+    Scale shape: shard = top md5 bits mod n_shards — ONE hash shuffle;
+    pos = row_number within shard ordered by (key, id) — the sort runs
+    per shard (corpus/n_shards rows), never globally. A writer follows
+    with repartition("shard") + sortWithinPartitions("pos"), so the
+    physical plan is exactly one exchange + one in-partition sort at
+    any corpus size. Salting is unnecessary: md5 output is uniform by
+    construction, so shards balance to ±O(sqrt(n/n_shards)).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    win = Window.partitionBy("shard").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(win))
+        .drop("__key")
+    )

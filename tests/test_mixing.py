@@ -189,3 +189,53 @@ def test_stratified_sample_exact_k(spark):
         assert got[g] == want, g
     # k above group size keeps the whole group
     assert stratified_sample(df, "lang", "doc_id", k=100).count() == 90
+
+
+class TestCorpusShuffle:
+    def _df(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+        )
+
+    def test_partition_and_determinism(self, spark):
+        from lens_spark.operators.mixing import corpus_shuffle
+
+        df = self._df(spark)
+        a = corpus_shuffle(df, "doc_id", 8).collect()
+        b = corpus_shuffle(df, "doc_id", 8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # every doc exactly once, pos is 1..n_s dense per shard
+        assert len(a) == 400
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_seed_changes_order_not_membership(self, spark):
+        from lens_spark.operators.mixing import corpus_shuffle
+
+        df = self._df(spark)
+        a = corpus_shuffle(df, "doc_id", 8, seed="0").collect()
+        b = corpus_shuffle(df, "doc_id", 8, seed="1").collect()
+        assert {r.doc_id for r in a} == {r.doc_id for r in b}
+        assert {(r.doc_id, r.shard, r.pos) for r in a} != {
+            (r.doc_id, r.shard, r.pos) for r in b}
+
+    def test_balanced(self, spark):
+        from lens_spark.operators.mixing import corpus_shuffle
+
+        counts = [0] * 8
+        for r in corpus_shuffle(self._df(spark, 800), "doc_id", 8).collect():
+            counts[r.shard] += 1
+        assert min(counts) > 60 and max(counts) < 140  # 100 ± sqrt-ish
+
+    def test_executor_count_independent(self, spark):
+        from lens_spark.operators.mixing import corpus_shuffle
+
+        df1 = self._df(spark).coalesce(1)
+        df4 = self._df(spark).repartition(7)
+        a = sorted(map(tuple, corpus_shuffle(df1, "doc_id", 4).collect()))
+        b = sorted(map(tuple, corpus_shuffle(df4, "doc_id", 4).collect()))
+        assert a == b
