@@ -1052,6 +1052,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("shard", "pos")
         )
 
+    def q_image_phash(spark, sf):
+        # perceptual hash (dHash) over binary image payloads: Arrow
+        # mapInPandas, one long out per image, corrupt rows -> (-1,
+        # error) — vs the FROZEN Spark-free expected parquet
+        # (scripts/freeze_phash_oracle.py)
+        from lens_spark.corpus import gen_phash_media, media_to_spark
+        from lens_spark.operators.multimodal import image_phash
+
+        media = media_to_spark(spark, gen_phash_media(36, seed=11))
+        return (
+            image_phash(media)
+            .select("media_id", "phash",
+                    F.coalesce("error", F.lit("")).alias("error"))
+            .orderBy("media_id")
+        )
+
+    def q_phash_pairs(spark, sf):
+        # image near-dup pairs at Hamming<=2: exhaustive pigeonhole
+        # banding over the 64-bit dHash, join-free bucket pairing — vs
+        # the frozen BRUTE-FORCE all-pairs ground truth (banding is
+        # full-recall, so set equality is exact)
+        from lens_spark.corpus import gen_phash_media, media_to_spark
+        from lens_spark.operators.multimodal import (
+            image_phash, phash_pairs,
+        )
+
+        media = media_to_spark(spark, gen_phash_media(36, seed=11))
+        return (
+            phash_pairs(image_phash(media), max_hamming=2)
+            .orderBy("id_a", "id_b")
+        )
+
     def q_embedding_project(spark, sf):
         # signed random projection (Achlioptas/JL) 64 → 8 dims: pure
         # Catalyst map-only (literal sign matrix, fresh HOF lambdas per
@@ -1623,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "domain_caps": q_domain_caps,
         "corpus_shuffle": q_corpus_shuffle,
+        "image_phash": q_image_phash,
+        "phash_pairs": q_phash_pairs,
         "quality_profile": q_quality_profile,
         "bpe_pair_counts": q_bpe_pair_counts,
         "lm_perplexity": q_lm_perplexity,
@@ -2586,6 +2620,16 @@ def oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(emb_q, ','), '') as emb_q, error
         from read_parquet('{fixdir}/image_features_expected.parquet')
         order by media_id
+    """
+    out["image_phash"] = f"""
+        select media_id, phash, coalesce(error, '') as error
+        from read_parquet('{fixdir}/phash_expected.parquet')
+        order by media_id
+    """
+    out["phash_pairs"] = f"""
+        select id_a, id_b, hamming
+        from read_parquet('{fixdir}/phash_pairs_expected.parquet')
+        order by id_a, id_b
     """
     out["frame_sample"] = f"""
         select media_id, frame_no, frame_md5, frame_len, error

@@ -268,3 +268,43 @@ def media_to_spark(spark, rows: list[dict]):
          for r in rows],
         schema=MEDIA,
     )
+
+
+def gen_phash_media(n: int = 36, seed: int = 11) -> list[dict]:
+    """Deterministic image corpus for the perceptual-hash (dHash)
+    operators: 16x16 random-grayscale PNGs with PLANTED near-dups —
+    every doc i % 3 == 1 is a ±40-on-four-pixels perturbation of its
+    predecessor (small dHash Hamming distance — each 16x16→9x8 cell
+    averages ~2x2 pixels, so a 40-level nudge flips at most a couple of
+    gradient bits), every i % 6 == 5 is a
+    verbatim re-encode of the grid two back (Hamming 0), and one
+    corrupt payload per 12 rows drives the error lane. Shared verbatim
+    by the Spark driver queries and the Spark-free freezer
+    (scripts/freeze_phash_oracle.py)."""
+    import random
+
+    from lens_spark.extractors.ocr_stub import make_png
+
+    rng = random.Random(seed)
+    grids: list[list[bytearray]] = []
+    rows = []
+    for i in range(n):
+        if i % 3 == 1 and grids:
+            # near-dup of the previous image: ±40 on four pixels
+            g = [bytearray(r) for r in grids[-1]]
+            for _ in range(4):
+                y, x = rng.randrange(16), rng.randrange(16)
+                g[y][x] = max(0, min(255, g[y][x] + rng.choice((-40, 40))))
+        elif i % 6 == 5 and len(grids) >= 2:
+            # exact dup (same pixels as two back → Hamming 0)
+            g = [bytearray(r) for r in grids[-2]]
+        else:
+            g = [bytearray(rng.randrange(256) for _ in range(16))
+                 for _ in range(16)]
+        grids.append(g)
+        payload = make_png(pixels=[bytes(r) for r in g])
+        if i % 12 == 11:
+            payload = b"\x00corrupt" + payload[:4]
+        rows.append({"media_id": f"p{i:04d}", "kind": "image",
+                     "payload": payload, "media_ref": f"ref-p{i:04d}"})
+    return rows

@@ -190,11 +190,20 @@ def classify_image(content: bytes) -> str:
     return LABELS[digest[0] % len(LABELS)]
 
 
-def make_png(caption: str | None = None, width: int = 1, height: int = 1) -> bytes:
+def make_png(
+    caption: str | None = None,
+    width: int = 1,
+    height: int = 1,
+    pixels: list[bytes] | None = None,
+) -> bytes:
     """Build a real (decodable) PNG, optionally with a tEXt caption chunk.
 
     Used by the fixture/bench corpus generator; kept here with the chunk
-    parser so writer and reader stay in sync.
+    parser so writer and reader stay in sync. ``pixels`` (rows of
+    grayscale bytes, all same width) overrides the default flat-0x80
+    fill — the perceptual-hash fixtures need real image content; the
+    default path is byte-identical to the pre-pixels version (frozen
+    oracles depend on it).
     """
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -205,8 +214,13 @@ def make_png(caption: str | None = None, width: int = 1, height: int = 1) -> byt
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
+    if pixels is not None:
+        height = len(pixels)
+        width = len(pixels[0])
+        raw = b"".join(b"\x00" + bytes(r) for r in pixels)
+    else:
+        raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # grayscale
-    raw = b"".join(b"\x00" + b"\x80" * width for _ in range(height))
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if caption is not None:
         png += chunk(b"tEXt", b"caption\x00" + caption.encode("latin-1"))

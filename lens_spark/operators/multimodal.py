@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -313,3 +313,194 @@ def audio_chunks(media: DataFrame) -> DataFrame:
     return media.filter("kind = 'audio'").select(
         "media_id", "payload"
     ).mapInPandas(batches, FRAMES)
+
+
+# ------------------------------------------------------- perceptual hash
+# dHash (difference hash): 9x8 box-downsample of the grayscale image,
+# bit = 1 iff cell(x) > cell(x+1) row-wise — 64 bits. Near-identical
+# images (recompression, tiny edits, resizes) land within a small
+# Hamming radius; the standard cheap image near-dup key (the pHash
+# family; dHash is the gradient variant). Decode is gated like
+# everything else in this module: PIL convert("L") in production, an
+# in-sandbox minimal PNG decoder (8-bit grayscale, filters 0-2) that
+# REALLY inflates and unfilters the fixture scanlines.
+
+LONG_MASK = (1 << 64) - 1
+
+
+def _to_signed64(v: int) -> int:
+    v &= LONG_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def decode_gray(payload: bytes) -> list[bytes]:
+    """Grayscale pixel rows of an image payload. PIL when installed
+    (any format, mean-luma), else the minimal PNG path: IHDR must be
+    8-bit grayscale, IDAT zlib-inflated, per-scanline filters
+    None/Sub/Up undone byte-for-byte."""
+    try:  # pragma: no cover - not installed in this sandbox
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        raw = img.tobytes()
+        w, h = img.size
+        return [raw[y * w:(y + 1) * w] for y in range(h)]
+    except ImportError:
+        pass
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG")
+    pos, idat, w, h, depth, color = 8, b"", 0, 0, 0, 0
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if depth != 8 or color != 0:
+        raise ValueError(
+            f"sandbox PNG decoder supports 8-bit grayscale only "
+            f"(got depth={depth} color={color})"
+        )
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows: list[bytes] = []
+    prev = bytes(w)
+    for y in range(h):
+        line = raw[y * stride:(y + 1) * stride]
+        ftype, scan = line[0], bytearray(line[1:])
+        if ftype == 1:          # Sub
+            for x in range(1, w):
+                scan[x] = (scan[x] + scan[x - 1]) & 0xFF
+        elif ftype == 2:        # Up
+            for x in range(w):
+                scan[x] = (scan[x] + prev[x]) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        prev = bytes(scan)
+        rows.append(prev)
+    return rows
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit dHash as a SIGNED long (Spark/parquet int64 fold)."""
+    rows = decode_gray(payload)
+    h, w = len(rows), len(rows[0]) if rows else 0
+    if h < 1 or w < 2:
+        raise ValueError("image too small for dHash")
+    # 9x8 box-average grid (boundaries by integer split, cells >= 1px)
+    grid = []
+    for gy in range(8):
+        y0, y1 = gy * h // 8, max(gy * h // 8 + 1, (gy + 1) * h // 8)
+        row = []
+        for gx in range(9):
+            x0 = gx * w // 9
+            x1 = max(x0 + 1, (gx + 1) * w // 9)
+            s = sum(rows[y][x] for y in range(y0, y1)
+                    for x in range(x0, x1))
+            row.append(s / ((y1 - y0) * (x1 - x0)))
+        grid.append(row)
+    bits = 0
+    for gy in range(8):
+        for gx in range(8):
+            if grid[gy][gx] > grid[gy][gx + 1]:
+                bits |= 1 << (gy * 8 + gx)
+    return _to_signed64(bits)
+
+
+PHASH = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("phash", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def phash_row(media_id, payload) -> tuple:
+    """Per-row dHash (pure; shared with the Spark-free oracle freezer,
+    the image_feature_row pattern). Errors → phash -1 sentinel + error
+    string (nullable-long cells break the driver's value hash)."""
+    try:
+        return (media_id, dhash64(bytes(payload)), None)
+    except Exception as e:  # noqa: BLE001 - quarantine, not crash
+        return (media_id, -1, str(e))
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """dHash every image payload (Arrow-batched mapInPandas, binary in
+    / one long out — the cheapest per-image map in the tier)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in it:
+            rows = [phash_row(mid, payload)
+                    for mid, payload in zip(b["media_id"], b["payload"])]
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH])
+
+    return media.filter("kind = 'image'").select(
+        "media_id", "payload"
+    ).mapInPandas(batches, PHASH)
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Image near-dup pairs with Hamming(dHash) ≤ max_hamming —
+    EXHAUSTIVE pigeonhole banding over the 64-bit hash (simhash_bands:
+    max_hamming+1 bands ⇒ a qualifying pair is bit-identical in ≥ 1
+    band), join-free bucket pairing, hot buckets capped (over-cap keys
+    are walls of identical images — exact dedup's job). Input: the
+    `image_phash` output (errored rows, phash −1, are excluded).
+    Returns (id_a, id_b, hamming); one groupBy exchange + distinct."""
+    from pyspark.sql import Window, functions as F
+
+    from lens_spark.operators.dedup import pair_structs, simhash_bands
+
+    layout = simhash_bands(max_hamming, bits=64)
+    ok = hashes.filter(F.col("error").isNull()).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("ph")
+    )
+    banded = ok.select(
+        "id", "ph",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band_no"),
+                F.call_function("shiftright", F.col("ph"), F.lit(off))
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for i, (off, width) in enumerate(layout)
+        ])).alias("band"),
+    ).select("id", "ph", "band.band_no", "band.key")
+    w = Window.partitionBy("band_no", "key")
+    sized = (
+        banded.withColumn("n", F.count("*").over(w))
+        .filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+        .drop("n")
+    )
+    buckets = sized.groupBy("band_no", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("id"), F.col("ph")))
+        ).alias("members")
+    )
+    p = F.col("p")
+    ham = F.bit_count(p.a.ph.bitwiseXOR(p.b.ph))
+    return (
+        buckets.select(F.explode(pair_structs(F.col("members"))).alias("p"))
+        .select(
+            p.a.id.alias("id_a"),
+            p.b.id.alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
