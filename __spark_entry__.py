@@ -13,6 +13,7 @@ engines produce bit-identical values.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1052,6 +1053,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("shard", "pos")
         )
 
+    def q_export_roundtrip(spark, sf):
+        # trainer JSONL sink E2E: export (doc_id, lang, source, text)
+        # as sharded uncompressed JSONL to a scratch dir (to_json
+        # struct, JVM-side), read it back with an explicit schema, and
+        # return ordered rows — serialization fidelity (incl. to_json
+        # null-field dropping -> NULL on read-back) vs the plain table
+        # oracle. The scratch dir is per-call (mkdtemp); the read-back
+        # is lazy, so the files outlive this function deliberately.
+        import tempfile
+
+        from lens_spark.sources.export import export_jsonl
+
+        out = tempfile.mkdtemp(prefix="lens_export_rt_")
+        export_jsonl(
+            _docs(spark, sf).select("doc_id", "lang", "source", "text"),
+            out, rows_per_shard=64, compression=None,
+        )
+        return (
+            spark.read.schema(
+                "doc_id long, lang string, source string, text string"
+            )
+            .json(os.path.join(out, "data"))
+            .select("doc_id", "lang", "source", "text")
+            .orderBy("doc_id")
+        )
+
+    def q_wds_manifest(spark, sf):
+        # WebDataset tar sink E2E: md5-shard documents (corpus_shuffle
+        # rule, seed 42), write REAL tar shards, return the manifest's
+        # per-shard doc counts. Membership is SQL-mirrorable (the same
+        # md5 '42:'||doc_id rule the corpus_shuffle oracle uses); tar
+        # BYTES are pinned separately by tests/test_export.py
+        # (byte-identical reruns). Manifest rows come back through the
+        # plan — n_shards rows, bounded — never a re-scan.
+        import tempfile
+
+        from lens_spark.sources.export import export_webdataset
+
+        out = tempfile.mkdtemp(prefix="lens_wds_")
+        man = export_webdataset(
+            _docs(spark, sf), out, "doc_id", "text",
+            n_shards=8, seed="42", meta_cols=["lang", "source"],
+        )
+        rows = [(int(s["shard"]), int(s["n_docs"])) for s in man["shards"]]
+        return spark.createDataFrame(
+            rows, "shard int, n_docs long"
+        ).orderBy("shard")
+
     def q_image_phash(spark, sf):
         # perceptual hash (dHash) over binary image payloads: Arrow
         # mapInPandas, one long out per image, corrupt rows -> (-1,
@@ -1655,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "domain_caps": q_domain_caps,
         "corpus_shuffle": q_corpus_shuffle,
+        "export_roundtrip": q_export_roundtrip,
+        "wds_manifest": q_wds_manifest,
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
         "quality_profile": q_quality_profile,
@@ -3307,6 +3358,20 @@ def oracle_sql() -> dict[str, str]:
                (row_number() over (partition by shard
                                    order by key, doc_id))::int as pos
         from s order by shard, pos
+    """
+    # JSONL sink round-trip: the Spark side physically writes + re-reads
+    # shards; the oracle is the identity projection (fidelity check)
+    out["export_roundtrip"] = """
+        select doc_id, lang, source, text
+        from documents order by doc_id
+    """
+    # WebDataset manifest: per-shard doc counts under the corpus_shuffle
+    # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
+    out["wds_manifest"] = r"""
+        select (('0x' || substr(md5('42:' || cast(doc_id as varchar)),
+                                1, 8))::bigint % 8)::int as shard,
+               count(*)::bigint as n_docs
+        from documents group by shard order by shard
     """
     # URL synthesis + parse + registered domain: the same four URL
     # shapes built from (doc_id, source), the same RE2 regexp, the same
