@@ -1053,6 +1053,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("shard", "pos")
         )
 
+    def q_token_budget(spark, sf):
+        # quality-ranked token-budget cut (the "take the top N tokens"
+        # selection rule): three bounded steps — quantized-bucket
+        # groupBy, running sum over the TINY bucket table, row-level
+        # window only inside the one boundary bucket — exactly equal to
+        # the naive global sort+cumsum the oracle runs
+        from lens_spark.functions.text import quality_score, token_count_ws
+        from lens_spark.operators.mixing import token_budget_select
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+            token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        return token_budget_select(
+            d, "doc_id", "quality", "n_tokens", budget=12_000
+        ).orderBy("doc_id")
+
+    def q_boilerplate(spark, sf):
+        # corpus-level template detection: cross-document 3-gram doc
+        # frequency (distinct per doc), min_df 2, top 200 — map-only
+        # shingle+explode, one map-side-combined groupBy,
+        # TakeOrderedAndProject
+        from lens_spark.operators.dedup import boilerplate_ngrams
+
+        return boilerplate_ngrams(
+            _docs(spark, sf), "doc_id", "text", k=3, min_df=2, top_k=200
+        )
+
     def q_export_roundtrip(spark, sf):
         # trainer JSONL sink E2E: export (doc_id, lang, source, text)
         # as sharded uncompressed JSONL to a scratch dir (to_json
@@ -1706,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
+        "token_budget_select": q_token_budget,
+        "boilerplate_ngrams": q_boilerplate,
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
         "quality_profile": q_quality_profile,
@@ -3358,6 +3389,50 @@ def oracle_sql() -> dict[str, str]:
                (row_number() over (partition by shard
                                    order by key, doc_id))::int as pos
         from s order by shard, pos
+    """
+    # quality-ranked token-budget cut: naive global cumsum (the Spark
+    # side's bucket decomposition is provably equal; quality doubles are
+    # the proven-identical rounded expression, ties broken by doc_id)
+    out["token_budget_select"] = f"""
+        with t as (
+          select doc_id,
+                 round(0.4 * (least(length(text), 2000) / 2000.0)
+                     + 0.3 * (1 - {punct_ratio})
+                     + 0.3 * least({sw_ratio} * 4, 1.0), 6)::double
+                   as quality,
+                 len(list_filter(string_split_regex(text, '\\s+'),
+                     t -> len(t) > 0))::bigint as n_tokens
+          from documents
+        ), c as (
+          select doc_id, quality, n_tokens,
+                 coalesce(sum(n_tokens) over (
+                   order by quality desc, doc_id asc
+                   rows between unbounded preceding and 1 preceding),
+                   0) as cum0
+          from t
+        )
+        select doc_id, quality, n_tokens from c
+        where cum0 < 12000 order by doc_id
+    """
+    # cross-document 3-gram doc frequency (distinct per doc), min_df 2,
+    # top 200 by (doc_freq desc, ngram asc) — same shingle rule as the
+    # dedup_ngram_jaccard mirror
+    out["boilerplate_ngrams"] = f"""
+        with toks as (
+          select doc_id, {ws_toks} as tk from documents
+        ), sh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_distinct([array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, greatest(len(tk)-2, 1)+1)])
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        ), g as (select unnest(shingles) as ngram from sh)
+        select ngram, count(*)::bigint as doc_freq
+        from g where len(ngram) > 0
+        group by ngram having count(*) >= 2
+        order by doc_freq desc, ngram asc
+        limit 200
     """
     # JSONL sink round-trip: the Spark side physically writes + re-reads
     # shards; the oracle is the identity projection (fidelity check)

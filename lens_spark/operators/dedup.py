@@ -1087,3 +1087,43 @@ def dedup_lines_in_doc(
         ],
         removed.alias("n_removed_lines"),
     )
+
+
+# ------------------------------------------- corpus-level boilerplate
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level template detection: the k-word shingles that recur
+    ACROSS documents, with their document frequency — the statistic
+    behind boilerplate/nav-chrome removal lists (the C4/RefinedWeb
+    analyses report exactly this table: "policy lines / cookie banners
+    dominate the cross-document n-gram mass"). Returns
+    ``(ngram, doc_freq)`` for shingles in ≥ ``min_df`` docs, highest
+    doc_freq first (ties: ngram asc); ``top_k`` bounds the output.
+
+    Scale shape (100 TB): per-doc DISTINCT shingling
+    (:func:`word_shingles` — dedup inside the doc, so a doc counts
+    once however often it repeats itself) + explode are MAP-ONLY; the
+    doc-frequency count is one groupBy whose map-side combine
+    collapses repeated grams inside each partition before the single
+    shuffle; ``top_k`` lowers to TakeOrderedAndProject (no global
+    sort). The per-doc shingle array is bounded by the doc's own
+    length — no skew key hotter than the corpus' most common phrase,
+    and that key carries a count, not a row list."""
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), k)).alias("ngram"),
+        )
+        .filter(F.length("ngram") > 0)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    out = grams.orderBy(F.col("doc_freq").desc(), F.col("ngram").asc())
+    return out.limit(top_k) if top_k is not None else out

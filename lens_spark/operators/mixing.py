@@ -306,3 +306,77 @@ def corpus_shuffle(
         .withColumn("pos", F.row_number().over(win))
         .drop("__key")
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    bucket_scale: int = 10_000,
+) -> DataFrame:
+    """Fill a token budget with the best-scoring documents: keep every
+    doc whose running token total — in (``score_col`` desc, ``id_col``
+    asc) order — is still below ``budget`` when the doc starts. This is
+    the final "take the top N tokens" cut of quality-ranked data
+    selection (the selection rule DSIR/ask-llm-style pipelines apply
+    after scoring); the crossing doc is included, so output token mass
+    is the smallest prefix ≥ budget (or the whole corpus if lighter).
+
+    100 TB shape — the naive form is a GLOBAL sort + running sum
+    (one total-order exchange over the corpus: a scale-killer). This
+    runs in three bounded steps instead:
+
+    1. quantize scores into ``floor(score·bucket_scale)`` buckets and
+       aggregate per-bucket token mass — one map-side-combinable
+       groupBy; the result is ≤ a few thousand rows for scores in
+       [0, 1] (size ``bucket_scale`` to the score range, not the
+       corpus);
+    2. a running sum over that TINY bucket table (single-partition
+       window — bounded by distinct buckets, never corpus rows) splits
+       buckets into fully-kept (cum_before + mass < budget), dropped
+       (cum_before ≥ budget), and THE one boundary bucket;
+    3. only the boundary bucket's sliver gets a row-level window
+       (exact score desc, id asc) to place the cut — the global sort
+       never happens.
+
+    Rows with a NULL score or NULL token count are dropped up front
+    (they have no place in a total order; filter/flag upstream).
+    Quantization is order-consistent (floor is monotone), so the
+    result is exactly the naive global rule."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    src = df.filter(
+        F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
+    )
+    bucket = F.floor(F.col(score_col) * bucket_scale).cast("long")
+    per = src.withColumn("__b", bucket)
+    sizes = per.groupBy("__b").agg(
+        F.sum(F.col(tokens_col).cast("long")).alias("__bt")
+    )
+    wb = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = sizes.withColumn(
+        "__cum0", F.coalesce(F.sum("__bt").over(wb), F.lit(0).cast("long"))
+    )
+    joined = per.join(F.broadcast(cum), "__b")
+    full = joined.filter(F.col("__cum0") + F.col("__bt") < budget)
+    boundary = joined.filter(
+        (F.col("__cum0") < budget)
+        & (F.col("__cum0") + F.col("__bt") >= budget)
+    )
+    wr = Window.partitionBy("__b").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cut = boundary.withColumn(
+        "__cumr",
+        F.col("__cum0")
+        + F.coalesce(
+            F.sum(F.col(tokens_col).cast("long")).over(wr),
+            F.lit(0).cast("long"),
+        ),
+    ).filter(F.col("__cumr") < budget)
+    keep_cols = src.columns
+    return full.select(*keep_cols).unionByName(cut.select(*keep_cols))

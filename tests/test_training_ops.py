@@ -1138,3 +1138,88 @@ def test_minhash_increment(spark):
         if (r["id_a"] >= 10) != (r["id_b"] >= 10)
     }
     assert got == full
+
+
+class TestTokenBudgetSelect:
+    def _naive(self, rows, budget):
+        # global rule: order by (score desc, id asc), keep while the
+        # running total BEFORE the doc is < budget
+        kept, cum = set(), 0
+        for _id, score, tok in sorted(
+            rows, key=lambda r: (-r[1], r[0])
+        ):
+            if cum < budget:
+                kept.add(_id)
+            cum += tok
+        return kept
+
+    def test_equals_naive_global_rule(self, spark):
+        import hashlib
+
+        rows = []
+        for i in range(400):
+            h = hashlib.md5(f"tb:{i}".encode()).digest()
+            score = round(h[0] / 255.0, 4)  # ~256 distinct -> ties
+            rows.append((i, score, 1 + h[1] % 50))
+        df = spark.createDataFrame(
+            rows, "id long, score double, tok long")
+        from lens_spark.operators.mixing import token_budget_select
+
+        for budget in (1, 137, 2500, 10**9):
+            got = {
+                r["id"]
+                for r in token_budget_select(
+                    df, "id", "score", "tok", budget
+                ).collect()
+            }
+            assert got == self._naive(rows, budget), budget
+
+    def test_null_rows_dropped_and_validation(self, spark):
+        from lens_spark.operators.mixing import token_budget_select
+
+        df = spark.createDataFrame(
+            [(1, 0.9, 10), (2, None, 10), (3, 0.5, None), (4, 0.1, 10)],
+            "id long, score double, tok long",
+        )
+        got = {r["id"] for r in token_budget_select(
+            df, "id", "score", "tok", 10**6).collect()}
+        assert got == {1, 4}
+        with pytest.raises(ValueError):
+            token_budget_select(df, "id", "score", "tok", 0)
+
+    def test_zero_token_doc_at_exact_boundary(self, spark):
+        # budget lands exactly on a bucket edge; the zero-token doc
+        # sitting there has cum_before == budget -> excluded (strict <)
+        from lens_spark.operators.mixing import token_budget_select
+
+        df = spark.createDataFrame(
+            [(1, 0.9, 10), (2, 0.8, 0), (3, 0.7, 5)],
+            "id long, score double, tok long",
+        )
+        got = {r["id"] for r in token_budget_select(
+            df, "id", "score", "tok", 10).collect()}
+        assert got == {1}
+
+
+def test_boilerplate_ngrams(spark):
+    from lens_spark.operators.dedup import boilerplate_ngrams
+
+    rows = [
+        (1, "cookie policy applies here . unique alpha text one"),
+        (2, "our cookie policy applies to everything on this site"),
+        (3, "cookie policy applies . cookie policy applies twice"),
+        (4, "totally unrelated words nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["ngram"]: r["doc_freq"]
+        for r in boilerplate_ngrams(df, "id", "text", k=3).collect()
+    }
+    # in 3 docs; doc 3's internal repetition counts ONCE (distinct/doc)
+    assert got["cookie policy applies"] == 3
+    assert all(v >= 2 for v in got.values())
+    # top_k truncates on (doc_freq desc, ngram asc)
+    top1 = boilerplate_ngrams(df, "id", "text", k=3, top_k=1).collect()
+    assert [(r["ngram"], r["doc_freq"]) for r in top1] == [
+        ("cookie policy applies", 3)
+    ]
