@@ -449,6 +449,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("vec_id")
         )
 
+    def q_embedding_kmeans(spark, sf):
+        # iterative Lloyd's k-means on the exact integer grid
+        # (semdedup.py): md5 hash-order seeds, 2 assign+update rounds,
+        # integer-only output — the oracle unrolls the same iterations
+        from lens_spark.operators.semdedup import embedding_kmeans
+
+        return embedding_kmeans(
+            _emb(spark, sf), "vec_id", "embedding", k=4, iters=2
+        ).orderBy("vec_id")
+
+    def q_kmeans_semdedup(spark, sf):
+        # SemDeDup's triangular flag-table rule over the ITERATIVE
+        # kmeans clusters (vs semdedup_pairs' one-shot IVF centroids):
+        # exact DECIMAL(38) threshold test, tau=0.45 drops 11 docs at
+        # sf0.01 so the rule is a live path
+        from lens_spark.operators.semdedup import semdedup
+
+        return semdedup(
+            _emb(spark, sf), "vec_id", "embedding",
+            k=4, iters=2, tau=0.45,
+        ).orderBy("vec_id")
+
     def q_lang_id(spark, sf):
         return (
             _docs(spark, sf)
@@ -1761,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_emb_neardup,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keep": q_semdedup_keep,
+        "embedding_kmeans": q_embedding_kmeans,
+        "kmeans_semdedup": q_kmeans_semdedup,
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
@@ -2775,6 +2799,99 @@ def oracle_sql() -> dict[str, str]:
         )
         order by vec_id
     """
+
+    # ---- iterative Lloyd's kmeans on the exact integer grid (operators/
+    # semdedup.py): the oracle UNROLLS the same 2 assign+update rounds.
+    # Distances via the dot identity qq - 2qc + cc on DOUBLE lists —
+    # every value is an integer < 2^53, so the doubles are exact and the
+    # argmin matches Spark's BIGINT fold bit-for-bit. Centroid update =
+    # round-half-up of the exact rational mean, floor((2S+N)/(2N)): 2S+N
+    # is an exact double and a non-integer quotient is ≥ 1/(2N) from any
+    # integer, so floor is safe (Spark computes the same value in Python
+    # ints driver-side).
+    def _km_dist(q, c):
+        return (
+            f"(list_dot_product({q}::DOUBLE[], {q}::DOUBLE[])"
+            f" - 2*list_dot_product({q}::DOUBLE[], {c}::DOUBLE[])"
+            f" + list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
+        )
+
+    def _km_assign(name, cents):
+        return f"""{name} as (
+          select id, q, c from (
+            select p.id, p.q, s.cidx as c,
+              row_number() over (partition by p.id order by
+                {_km_dist('p.q', 's.q')} asc, s.cidx asc) as rn
+            from q p cross join {cents} s) t where rn = 1
+        )"""
+
+    def _km_update(name, asg, prev, dim=64):
+        return f"""{name}_s as (
+          select c, i, sum(q[i])::BIGINT as s, count(*)::BIGINT as n
+          from {asg} cross join generate_series(1, {dim}) g(i)
+          group by c, i
+        ), {name} as (
+          select sd.cidx, coalesce(u.cent, sd.q) as q
+          from {prev} sd left join (
+             select c, list(cast(floor((2.0*s + n)/(2.0*n)) as bigint)
+                            order by i) as cent
+             from {name}_s group by c) u on u.c = sd.cidx
+        )"""
+
+    def _km_ctes(k=4, iters=2, scale=1_000_000):
+        parts = [
+            f"""q as (
+              select vec_id as id,
+                     [cast(floor(x*{scale} + 0.5) as bigint)
+                      for x in embedding::DOUBLE[]] as q
+              from embeddings where embedding is not null
+            )""",
+            f"""c0 as (
+              select row_number() over (
+                       order by md5(id::varchar) asc, id asc) - 1 as cidx,
+                     q
+              from q
+              order by md5(id::varchar) asc, id asc limit {k}
+            )""",
+        ]
+        cur = "c0"
+        for t in range(iters):
+            parts.append(_km_assign(f"a{t}", cur))
+            parts.append(_km_update(f"c{t + 1}", f"a{t}", cur))
+            cur = f"c{t + 1}"
+        parts.append(_km_assign("afin", cur))
+        return "with " + ",\n".join(parts)
+
+    out["embedding_kmeans"] = (
+        _km_ctes()
+        + "\nselect id as vec_id, c::INT as cluster from afin"
+        + " order by vec_id"
+    )
+    # triangular SemDeDup rule over the kmeans clusters: exact HUGEINT
+    # threshold test (tau_q=4500 i.e. tau=0.45), mirror of the Spark
+    # side's DECIMAL(38) comparison — dots are integer-valued doubles
+    # < 2^53, cast to HUGEINT before multiplying so nothing rounds
+    out["kmeans_semdedup"] = (
+        _km_ctes()
+        + """,
+        flags as (
+          select x.id, x.c,
+            max(case when y.id is not null
+              and list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[]) > 0
+              and 20250000::HUGEINT
+                  * list_dot_product(x.q::DOUBLE[], x.q::DOUBLE[])::HUGEINT
+                  * list_dot_product(y.q::DOUBLE[], y.q::DOUBLE[])::HUGEINT
+                <= 100000000::HUGEINT
+                  * list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])::HUGEINT
+                  * list_dot_product(x.q::DOUBLE[], y.q::DOUBLE[])::HUGEINT
+              then 1 else 0 end) as dropped
+          from afin x left join afin y on y.c = x.c and y.id < x.id
+          group by x.id, x.c
+        )
+        select id as vec_id, c::INT as cluster,
+               (1 - coalesce(dropped, 0))::INT as kept
+        from flags order by vec_id"""
+    )
     out["dedup_clusters"] = f"""
         with recursive pairs as ({out["dedup_simhash"]}),
         edges as (
