@@ -1093,6 +1093,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "doc_id", "quality", "n_tokens", budget=12_000
         ).orderBy("doc_id")
 
+    def q_quantile_bins(spark, sf):
+        # exact decile binning without a global sort (quantized-grid
+        # histogram + broadcast cell→bin map); the oracle runs the
+        # naive rank() formulation — provably equal because ties share
+        # grid cells in both
+        from lens_spark.functions.text import quality_score
+        from lens_spark.operators.mixing import quantile_bins
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+        )
+        return quantile_bins(d, "quality", n_bins=10).orderBy("doc_id")
+
     def q_boilerplate(spark, sf):
         # corpus-level template detection: cross-document 3-gram doc
         # frequency (distinct per doc), min_df 2, top 200 — map-only
@@ -1758,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
         "token_budget_select": q_token_budget,
+        "quantile_bins": q_quantile_bins,
         "boilerplate_ngrams": q_boilerplate,
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
@@ -3530,6 +3545,32 @@ def oracle_sql() -> dict[str, str]:
         )
         select doc_id, quality, n_tokens from c
         where cum0 < 12000 order by doc_id
+    """
+    # exact decile binning: the NAIVE rank() formulation over the
+    # quantized grid cell — equal to the Spark side's histogram
+    # decomposition because ties share cells in both; rank0·10/N is an
+    # exact double below 2^53 so floor cannot flip
+    out["quantile_bins"] = f"""
+        with t as (
+          select doc_id,
+                 round(0.4 * (least(length(text), 2000) / 2000.0)
+                     + 0.3 * (1 - {punct_ratio})
+                     + 0.3 * least({sw_ratio} * 4, 1.0), 6)::double
+                   as quality
+          from documents
+        ), q as (
+          select doc_id, quality,
+                 cast(floor(quality*1000000 + 0.5) as bigint) as cell
+          from t
+        ), r as (
+          select doc_id, quality,
+                 rank() over (order by cell asc) - 1 as rank0,
+                 count(*) over () as n
+          from q
+        )
+        select doc_id, quality,
+               cast(floor(rank0 * 10.0 / n) as int) as qbin
+        from r order by doc_id
     """
     # cross-document 3-gram doc frequency (distinct per doc), min_df 2,
     # top 200 by (doc_freq desc, ngram asc) — same shingle rule as the

@@ -380,3 +380,74 @@ def token_budget_select(
     ).filter(F.col("__cumr") < budget)
     keep_cols = src.columns
     return full.select(*keep_cols).unionByName(cut.select(*keep_cols))
+
+
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+    bin_col: str = "qbin",
+) -> DataFrame:
+    """Exact equal-frequency (quantile) binning WITHOUT a global sort:
+    the curriculum / CCNet-style head-middle-tail split generalized to
+    n bins. Row's bin = ``floor(rank0 · n_bins / N)`` where ``rank0``
+    is the number of rows with a strictly smaller score — so ties
+    always share a bin and bins are as equal as ties allow (the
+    deterministic twin of pandas ``qcut``).
+
+    The naive formulation is a global ORDER BY (ntile) — one
+    total-order exchange over the corpus, the scale-killer
+    lm.py:171-173 documents having to dodge with approx_percentile.
+    This runs exact in three bounded steps (the token_budget_select
+    decomposition):
+
+    1. scores quantize to ``floor(x·scale + 0.5)`` grid cells (the
+       engine-independent rounding); one map-side-combinable groupBy
+       builds the grid histogram — rows bounded by DISTINCT grid
+       cells, not corpus size (size ``scale`` to the score range);
+    2. running + total counts over that TINY table (single-partition
+       window, bounded by distinct cells) give every cell its exact
+       global ``rank0`` and thus its bin, with pure integer arithmetic
+       (rank0·n_bins ≤ N·n_bins, inside 2^53 up to ~10^13 rows per
+       hundred bins — document the bound, never round);
+    3. the (cell → bin) map broadcast-joins back onto the corpus —
+       map-only assignment, zero row-level windows anywhere.
+
+    Scores that differ by less than the grid resolution share a cell
+    and therefore a bin (the documented quantization contract). NULL
+    scores pass through with a NULL bin — never dropped. Output = input
+    columns + ``bin_col`` (int, 0..n_bins-1)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    cell = F.when(
+        F.col(score_col).isNotNull(),
+        F.floor(F.col(score_col).cast("double") * scale + F.lit(0.5))
+        .cast("long"),
+    )
+    src = df.withColumn("__cell", cell)
+    hist = (
+        src.filter(F.col("__cell").isNotNull())
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_before = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__cell").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    binned = hist.select(
+        "__cell",
+        F.floor(
+            F.coalesce(F.sum("__n").over(w_before), F.lit(0))
+            * n_bins
+            / F.sum("__n").over(w_all)
+        )
+        .cast("int")
+        .alias("__bin"),
+    )
+    return (
+        src.join(F.broadcast(binned), on="__cell", how="left")
+        .select(*df.columns, F.col("__bin").alias(bin_col))
+    )

@@ -239,3 +239,68 @@ class TestCorpusShuffle:
         a = sorted(map(tuple, corpus_shuffle(df1, "doc_id", 4).collect()))
         b = sorted(map(tuple, corpus_shuffle(df4, "doc_id", 4).collect()))
         assert a == b
+
+
+class TestQuantileBins:
+    def _naive(self, scores, n_bins, scale=1_000_000):
+        import math
+
+        cells = {s: math.floor(s * scale + 0.5) for s in scores
+                 if s is not None}
+        vals = sorted(cells[s] for s in scores if s is not None)
+        n = len(vals)
+        out = {}
+        for s in scores:
+            if s is None:
+                out[s] = None
+                continue
+            rank0 = sum(1 for v in vals if v < cells[s])
+            out[s] = (rank0 * n_bins) // n
+        return out
+
+    def test_equals_naive_rank_rule(self, spark):
+        import hashlib
+
+        from lens_spark.operators.mixing import quantile_bins
+
+        scores = []
+        for i in range(300):
+            h = hashlib.md5(f"qb:{i}".encode()).digest()
+            scores.append(round(h[0] / 255.0, 3))  # heavy ties
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(scores)],
+            "id long, score double")
+        for nb in (2, 10, 7):
+            want = self._naive(scores, nb)
+            got = {r["score"]: r["qbin"] for r in quantile_bins(
+                df, "score", n_bins=nb).collect()}
+            assert got == {s: want[s] for s in set(scores)}, nb
+
+    def test_ties_share_bin_nulls_pass_through(self, spark):
+        from lens_spark.operators.mixing import quantile_bins
+
+        df = spark.createDataFrame(
+            [(1, 0.5), (2, 0.5), (3, 0.5), (4, 0.9), (5, None)],
+            "id long, score double")
+        got = {r["id"]: r["qbin"] for r in quantile_bins(
+            df, "score", n_bins=2).collect()}
+        assert got[1] == got[2] == got[3] == 0
+        assert got[4] == 1
+        assert got[5] is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            quantile_bins(df, "score", n_bins=0)
+
+    def test_plan_is_broadcast_no_row_window(self, spark):
+        # the corpus-side plan must carry NO row-level Window and join
+        # the cell→bin map via broadcast (the whole point vs ntile)
+        from lens_spark.operators.mixing import quantile_bins
+
+        df = spark.range(1000).selectExpr(
+            "id", "cast(id % 97 as double) / 97 as score")
+        plan = quantile_bins(df, "score")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        # exactly the two bounded hist windows, nothing partitioned by row
+        assert plan.count("Window") <= 2
