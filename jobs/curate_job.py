@@ -23,6 +23,8 @@ Input: any parquet with an id column and a text column (the synthetic
                 [→ fuzzy MinHash decontamination against
                 --fuzzy-benchmark at --fuzzy-threshold (default 0.5)]
                 → PII → exact dedup → minhash near-dup keep
+                [→ SemDeDup semantic dedup with --semantic-tau, over
+                an (id, embedding) parquet given as --embeddings]
                 [→ ExactSubstr substring deletion with --exactsubstr-k]
     chunking  — optional: split curated docs into ≤MAX-token chunks
                 with OVERLAP shared tokens (--chunk MAX[,OVERLAP])
@@ -67,6 +69,9 @@ def run(
     fuzzy_threshold: float = 0.5,
     lm_ppl_max: float | None = None,
     lm_train=None,
+    embeddings=None,
+    embeddings_id_col: str | None = None,
+    semantic_tau: float | None = None,
     jsonl_shard_rows: int | None = None,
 ) -> dict:
     """Curate ``docs`` into ``out`` and return the report dict.
@@ -84,6 +89,12 @@ def run(
         fuzzy_threshold=fuzzy_threshold,
         lm_ppl_max=lm_ppl_max,
         lm_train=lm_train,
+        embeddings=(
+            embeddings.withColumnRenamed(
+                embeddings_id_col or id_col, id_col)
+            if embeddings is not None else None
+        ),
+        semantic_tau=semantic_tau,
     )
     final = res.curated
     if chunk is not None:
@@ -161,6 +172,15 @@ def main() -> None:
         lm_train=(
             spark.read.parquet(lt)
             if (lt := _flag("--lm-train")) is not None else None
+        ),
+        embeddings=(
+            spark.read.parquet(ep)
+            if (ep := _flag("--embeddings")) is not None else None
+        ),
+        embeddings_id_col=_flag("--embeddings-id"),
+        semantic_tau=(
+            float(st) if (st := _flag("--semantic-tau")) is not None
+            else None
         ),
         jsonl_shard_rows=(
             int(js) if (js := _flag("--jsonl")) is not None else None

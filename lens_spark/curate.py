@@ -8,6 +8,7 @@ data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
     [→ test-set decontamination (benchmark=)]
     [→ fuzzy MinHash decontamination (fuzzy_benchmark=)] → pii redaction
     → exact dedup → minhash-LSH near-dup clustering (keep cluster min)
+    [→ SemDeDup semantic dedup (semantic_tau= + embeddings=)]
     → language id + quality annotation
     [→ ExactSubstr substring deletion (exactsubstr_k)]
     [→ chunk_documents / pack_sequences downstream]
@@ -77,6 +78,12 @@ def curate(
     lm_train: DataFrame | None = None,
     lm_add_k: float = 0.1,
     lm_min_count: int = 1,
+    embeddings: DataFrame | None = None,
+    semantic_tau: float | None = None,
+    semantic_vec_col: str = "embedding",
+    semantic_k: int = 64,
+    semantic_iters: int = 2,
+    semantic_max_cluster: int = 2000,
 ) -> CurateResult:
     """See module docstring. ``exactsubstr_k`` (off by default) appends
     the substring-level stage: every duplicated ≥ k-token window among
@@ -131,7 +138,21 @@ def curate(
     enabled: the two vocab-sized count aggregations plus a per-doc
     score join-back (shuffle on ``id_col``) — the one optional stage
     that is not map-only, documented accordingly; like decontam, it
-    re-derives cleaned text from the input scan."""
+    re-derives cleaned text from the input scan.
+
+    ``semantic_tau`` + ``embeddings`` (off by default) append the
+    SemDeDup stage (Abbas et al. 2023; operators/semdedup.py) after
+    minhash near-dup clustering: ``semantic_keep`` = 0 for any
+    so-far-surviving doc whose embedding is ε-close (cos ≥ tau) to a
+    smaller-id survivor in the same k-means cluster. ``embeddings``
+    must carry ``id_col`` plus ``semantic_vec_col``; docs WITHOUT an
+    embedding row are semantic_keep = 1 (unjudgeable, never silently
+    dropped — the no-silent-drops convention). Runs on SURVIVORS only
+    (the minhash-stage precedent: pairs among dropped docs are wasted
+    work); cost when enabled = the iterative k-means scans over the
+    survivor embedding set + the capped within-cluster O(c²) pass —
+    size ``semantic_k`` so clusters stay under
+    ``semantic_max_cluster``."""
     # Stage flags are COALESCED to 0: c4_clean(NULL) yields NULL flags,
     # and a NULL flag would put a null-text doc in NO report bucket
     # (neither dropped_* nor kept — sums skip NULLs), silently violating
@@ -319,6 +340,33 @@ def curate(
             | (F.col("cluster_id") == F.col(id_col))
         ).cast("int"),
     )
+    if semantic_tau is not None and embeddings is not None:
+        from lens_spark.operators.semdedup import semdedup
+
+        surv_ids = annotated.filter(
+            early_surv
+            & (F.col("exact_keeper") == 1)
+            & (F.col("neardup_keep") == 1)
+        ).select(id_col)
+        sem_flags = semdedup(
+            embeddings.join(surv_ids, on=id_col, how="inner"),
+            id_col,
+            semantic_vec_col,
+            k=semantic_k,
+            iters=semantic_iters,
+            tau=semantic_tau,
+            max_cluster=semantic_max_cluster,
+        ).select(id_col, F.col("kept").alias("__sem_kept"))
+        annotated = (
+            annotated.join(sem_flags, on=id_col, how="left")
+            .withColumn(
+                "semantic_keep",
+                F.coalesce(F.col("__sem_kept"), F.lit(1)).cast("int"),
+            )
+            .drop("__sem_kept")
+        )
+    else:
+        annotated = annotated.withColumn("semantic_keep", F.lit(1))
     annotated = annotated.withColumn(
         "kept",
         (
@@ -330,6 +378,7 @@ def curate(
             & (F.col("fuzzy_keep") == 1)
             & (F.col("exact_keeper") == 1)
             & (F.col("neardup_keep") == 1)
+            & (F.col("semantic_keep") == 1)
         ).cast("int"),
     )
     curated = (
@@ -376,6 +425,8 @@ def curation_report(annotated: DataFrame) -> dict:
         if "decontam_keep" in annotated.columns else F.lit(True)
     fz = (F.col("fuzzy_keep") == 1) \
         if "fuzzy_keep" in annotated.columns else F.lit(True)
+    se = (F.col("semantic_keep") == 1) \
+        if "semantic_keep" in annotated.columns else F.lit(True)
     ex = F.col("exact_keeper") == 1
     row = annotated.agg(
         F.count("*").alias("input_docs"),
@@ -397,6 +448,11 @@ def curation_report(annotated: DataFrame) -> dict:
              & ex & (F.col("neardup_keep") == 0))
             .cast("long")
         ).alias("dropped_near_dup"),
+        F.sum(
+            (c4 & go & cl & lm & dc & fz
+             & ex & (F.col("neardup_keep") == 1) & ~se)
+            .cast("long")
+        ).alias("dropped_semantic"),
         F.sum(F.col("kept").cast("long")).alias("kept_docs"),
         # redaction volumes count what actually reached the curated
         # output — sums over dropped docs would overstate the scrub

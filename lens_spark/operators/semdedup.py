@@ -159,9 +159,12 @@ def embedding_kmeans_model(
         .limit(k)
         .collect()
     )
+    # zero non-null vectors (e.g. an empty survivor set upstream in
+    # curate()) is a graceful no-op, not an error: base is empty, the
+    # callers produce empty/all-kept outputs from it
     centroids = [list(r["q"]) for r in seed_rows]
     if not centroids:
-        raise ValueError("input has no non-null vectors")
+        return base, []
 
     for _ in range(iters):
         rows = (
@@ -199,6 +202,11 @@ def embedding_kmeans(
     base, centroids = embedding_kmeans_model(
         df, id_col, vec_col, k, iters, scale, pin
     )
+    if not centroids:  # empty input — schema-stable empty result
+        return base.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+        )
     return base.select(
         F.col("id").alias(id_col),
         _assign(F.col("q"), centroids).cast("int").alias("cluster"),
@@ -246,6 +254,12 @@ def semdedup(
     base, centroids = embedding_kmeans_model(
         df, id_col, vec_col, k, iters, scale, pin=True
     )
+    if not centroids:  # empty input — schema-stable empty result
+        return base.select(
+            F.col("id").alias(id_col),
+            F.lit(None).cast("int").alias("cluster"),
+            F.lit(1).alias("kept"),
+        )
     assigned = base.select(
         "id", "q", _assign(F.col("q"), centroids).cast("int").alias(
             "cluster"

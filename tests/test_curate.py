@@ -400,3 +400,45 @@ def test_fuzzy_decontam_stage(spark):
     # stage off → flag constant 1, bucket zero
     rep_off = curation_report(curate(docs).annotated)
     assert rep_off["dropped_fuzzy_decontam"] == 0
+
+
+def test_semantic_stage(spark):
+    # docs 1 and 7 survive the base chain; give them near-identical
+    # embeddings so SemDeDup drops the larger id. Doc 11 survives the
+    # chain but has NO embedding row -> unjudgeable, auto-kept.
+    docs = _corpus(spark).union(
+        spark.createDataFrame(
+            [(11, "\n".join(
+                ["green river stones hum with the cold night sky tonight."] * 6
+            ))],
+            "doc_id long, text string",
+        )
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.01]),
+            (2, [1.0, 0.0, 0.011]),   # near-dup of 1 — but doc 2 is
+            (3, [1.0, 0.0, 0.012]),   # already minhash/exact-dropped,
+            (7, [1.0, 0.001, 0.01]),  # so only 7 can die here
+            (4, [-1.0, 0.5, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    res = curate(docs, embeddings=emb, semantic_tau=0.99,
+                 semantic_k=1, semantic_iters=1)
+    flags = {
+        r["doc_id"]: (r["semantic_keep"], r["kept"])
+        for r in res.annotated.select(
+            "doc_id", "semantic_keep", "kept").collect()
+    }
+    assert flags[1] == (1, 1)   # lowest id in the ε-ball wins
+    assert flags[7] == (0, 0)   # semantically dup of 1 → dropped HERE
+    assert flags[11] == (1, 1)  # no embedding row → auto-kept
+    # already-dead docs are not judged semantically (survivor-only set)
+    assert flags[2][0] == 1 and flags[3][0] == 1
+    rep = curation_report(res.annotated)
+    assert rep["dropped_semantic"] == 1
+    assert rep["kept_docs"] == 2  # docs 1 and 11
+    # the stage off -> column defaults to 1 and the bucket reads 0
+    rep_off = curation_report(curate(docs).annotated)
+    assert rep_off["dropped_semantic"] == 0

@@ -382,3 +382,74 @@ def test_dsir_fit_bounded_and_scoring_maponly(docs):
     p = formatted_plan(q)
     assert "Exchange" not in p and "Join" not in p
     assert plan_stats(q).python_stages == 0
+
+
+def test_kmeans_iteration_and_semdedup_plan_shape(spark):
+    """The semantic-dedup tier's scale contract: each kmeans update is
+    ONE map-side-combined shuffle over the quantized scan (the k·dim
+    collect is model-sized); semdedup's flag side adds only the cluster
+    groupBy and the capped-prefix re-attach join — no cartesian, no
+    Python, no row-level window anywhere."""
+    from lens_spark.operators.semdedup import (
+        _assign, embedding_kmeans_model, quantize_grid, semdedup,
+    )
+    from lens_spark.plans.inspect import formatted_plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        quantize_grid(F.col("embedding")).alias("q"),
+    )
+    _, cents = embedding_kmeans_model(
+        emb, "vec_id", "embedding", k=4, iters=0, pin=False
+    )
+    # the per-iteration update aggregation: posexplode is map-only, the
+    # (cluster, dim) groupBy is the single exchange, partial agg present
+    upd = (
+        base.select(_assign(F.col("q"), cents).alias("__c"), "q")
+        .select("__c", F.posexplode("q").alias("pos", "val"))
+        .groupBy("__c", "pos")
+        .agg(F.sum("val"), F.count(F.lit(1)))
+    )
+    assert_max_exchanges(upd, 1)
+    s = plan_stats(upd)
+    assert s.python_stages == 0
+    p = formatted_plan(upd)
+    assert p.count("HashAggregate") >= 2, "map-side combine missing"
+
+    q = semdedup(emb, "vec_id", "embedding", k=4, iters=0, tau=0.9)
+    p = formatted_plan(q)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "Window" not in p
+    assert plan_stats(q).python_stages == 0
+    # cluster groupBy (+AQE-decided re-attach join) — bounded budget
+    assert_max_exchanges(q, 4)
+
+
+def test_token_budget_and_quantile_bins_plan_shape(docs):
+    """The two global-order-free selection ops: corpus-side work is one
+    map-side-combined histogram shuffle; every Window in the plan runs
+    on the TINY aggregated table (hist/bucket rows), never partitioned
+    by corpus row; assignment joins back via broadcast."""
+    from lens_spark.functions.text import quality_score, token_count_ws
+    from lens_spark.operators.mixing import (
+        quantile_bins, token_budget_select,
+    )
+    from lens_spark.plans.inspect import formatted_plan
+
+    d = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    qb = quantile_bins(d, "quality", n_bins=10)
+    p = formatted_plan(qb)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert plan_stats(qb).python_stages == 0
+
+    tb = token_budget_select(d, "doc_id", "quality", "n_tokens", 10_000)
+    p = formatted_plan(tb)
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "SortMergeJoin" not in p  # bucket map joins via broadcast
+    assert plan_stats(tb).python_stages == 0

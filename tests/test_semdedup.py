@@ -156,3 +156,14 @@ def test_kmeans_model_returns_grid_centroids(spark):
     _, cents = embedding_kmeans_model(df, "id", "vec", k=2, iters=2)
     assert len(cents) == 2 and all(len(c) == 4 for c in cents)
     assert all(isinstance(v, int) for c in cents for v in c)
+
+
+def test_empty_input_graceful(spark):
+    # zero non-null vectors (e.g. an empty survivor set in curate())
+    # -> schema-stable empty results, never an error
+    df = spark.createDataFrame(
+        [(1, None)], "id long, vec array<double>")
+    km = embedding_kmeans(df, "id", "vec", k=4, iters=2)
+    assert km.columns == ["id", "cluster"] and km.count() == 0
+    sd = semdedup(df, "id", "vec", k=4, iters=2)
+    assert sd.columns == ["id", "cluster", "kept"] and sd.count() == 0
