@@ -90,17 +90,43 @@ class LensTable:
     def exists(self) -> bool:
         return self.current_snapshot() is not None
 
-    def _manifest(self) -> dict | None:
-        snap = self.current_snapshot()
+    def _manifest(self, snapshot: str | None = None) -> dict | None:
+        snap = snapshot if snapshot is not None else (
+            self.current_snapshot()
+        )
         if snap is None:
             return None
-        with open(os.path.join(self.path, f"{snap}.json")) as f:
-            man = json.load(f)
+        try:
+            with open(os.path.join(self.path, f"{snap}.json")) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            if snapshot is None:
+                raise  # a dangling _current pointer is corruption
+            raise ValueError(
+                f"snapshot {snapshot!r} does not exist (retained: "
+                f"{self.snapshots()})"
+            ) from None
         # adopt the stored bucket count — a table's bucket mapping is a
         # physical property; reopening with a different constructor arg
         # must not silently mis-prune
         self.num_buckets = man["num_buckets"]
         return man
+
+    def snapshots(self) -> list[str]:
+        """READABLE snapshot ids, oldest first (Iceberg's snapshot log,
+        bounded by ``retain_snapshots``). Manifests older than the data-
+        retention window may still exist on disk (commit-time GC keeps
+        manifests, drops data roots) but their data is gone — they are
+        excluded here."""
+        cur = self.current_snapshot()
+        if cur is None:
+            return []
+        seq = int(cur.split("-")[1])
+        oldest = max(0, seq - self.retain_snapshots + 1)
+        return [
+            f"snap-{s}" for s in range(oldest, seq + 1)
+            if os.path.exists(os.path.join(self.path, f"snap-{s}.json"))
+        ]
 
     def _next_seq(self) -> int:
         cur = self.current_snapshot()
@@ -199,8 +225,24 @@ class LensTable:
         return sorted(r["b"] for r in rows)
 
     # ---- operations ----------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        man = self._manifest()
+    def read(self, spark: SparkSession,
+             snapshot: str | None = None) -> DataFrame | None:
+        """Scan the table. ``snapshot`` (e.g. ``"snap-3"``) time-travels
+        to a retained older snapshot — Iceberg's ``VERSION AS OF``: a
+        manifest is immutable once written and its data roots survive
+        for ``retain_snapshots`` commits, so the previous version stays
+        readable mid-migration (the in-flight-reader guarantee, now a
+        first-class read surface). Unknown/expired ids raise with the
+        retained list; see :meth:`snapshots`."""
+        if snapshot is not None and snapshot not in self.snapshots():
+            # a manifest may still exist past the data-retention window
+            # (commit GC keeps manifests, drops data roots) — reading it
+            # would be a partial scan, so refuse loudly
+            raise ValueError(
+                f"snapshot {snapshot!r} is not readable (retained: "
+                f"{self.snapshots()})"
+            )
+        man = self._manifest(snapshot)
         if man is None:
             return None
         dirs = self._dirs(man)
@@ -362,9 +404,19 @@ class IcebergTable:
         ).collect()
         return str(row[0][0]) if row else None
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession,
+             snapshot: str | None = None) -> DataFrame | None:
+        """Scan; ``snapshot`` (an Iceberg snapshot id string) time-
+        travels via the DSv2 ``snapshot-id`` read option — the real
+        ``VERSION AS OF``, mirroring LensTable.read(snapshot=)."""
         if not self.exists():
             return None
+        if snapshot is not None:
+            return (
+                spark.read.format("iceberg")
+                .option("snapshot-id", snapshot)
+                .load(self.identifier)
+            )
         return spark.read.table(self.identifier)
 
     def overwrite(self, df: DataFrame) -> str | None:

@@ -334,3 +334,29 @@ def test_iceberg_compact_sql_shape():
     sql = IcebergTable.compact_sql("lens.db.extracted")
     assert sql == ("CALL lens.system.rewrite_data_files("
                    "table => 'db.extracted')")
+
+
+def test_time_travel_read(spark, tmp_path):
+    """VERSION AS OF over the manifest log: the previous snapshot stays
+    byte-readable for retain_snapshots commits; expired ids raise with
+    the retained list."""
+    t = LensTable(str(tmp_path / "tt"), retain_snapshots=2)
+    s0 = t.overwrite(spark.createDataFrame(
+        [(1, "a")], "doc_id long, v string"))
+    s1 = t.merge_upsert(spark.createDataFrame(
+        [(1, "b"), (2, "c")], "doc_id long, v string"), key="doc_id")
+    assert t.snapshots() == [s0, s1]
+    # current: merged; time travel: the pre-merge version, data intact
+    assert {(r.doc_id, r.v) for r in t.read(spark).collect()} == {
+        (1, "b"), (2, "c")}
+    assert {(r.doc_id, r.v) for r in t.read(spark, snapshot=s0)
+            .collect()} == {(1, "a")}
+    # a third commit expires s0's data (retention 2) — listed no more,
+    # and asking for it raises rather than returning a partial scan
+    s2 = t.merge_upsert(spark.createDataFrame(
+        [(3, "d")], "doc_id long, v string"), key="doc_id")
+    assert t.snapshots() == [s1, s2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="snap-0"):
+        t.read(spark, snapshot=s0)
