@@ -1107,6 +1107,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return quantile_bins(d, "quality", n_bins=10).orderBy("doc_id")
 
+    def q_top_k_per_group(spark, sf):
+        # exact per-group top-k (5 best docs per lang by quality)
+        # without a per-group row sort; oracle = the naive rank window
+        from lens_spark.functions.text import quality_score
+        from lens_spark.operators.mixing import top_k_per_group
+
+        d = _docs(spark, sf).select(
+            "doc_id", "lang",
+            F.round(quality_score(F.col("text")), 6).alias("quality"),
+        )
+        return top_k_per_group(
+            d, "lang", "quality", k=5, id_col="doc_id"
+        ).orderBy("doc_id")
+
     def q_boilerplate(spark, sf):
         # corpus-level template detection: cross-document 3-gram doc
         # frequency (distinct per doc), min_df 2, top 200 — map-only
@@ -1773,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_manifest": q_wds_manifest,
         "token_budget_select": q_token_budget,
         "quantile_bins": q_quantile_bins,
+        "top_k_per_group": q_top_k_per_group,
         "boilerplate_ngrams": q_boilerplate,
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
@@ -3571,6 +3586,29 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, quality,
                cast(floor(rank0 * 10.0 / n) as int) as qbin
         from r order by doc_id
+    """
+    # per-group top-k: naive rank window over the QUANTIZED cell (the
+    # Spark side's cell decomposition ties on cells, so rank must too:
+    # within a cell the order is exact score desc / doc_id asc — on the
+    # grid the exact score IS the cell, making the two orders equal)
+    out["top_k_per_group"] = f"""
+        with t as (
+          select doc_id, lang,
+                 round(0.4 * (least(length(text), 2000) / 2000.0)
+                     + 0.3 * (1 - {punct_ratio})
+                     + 0.3 * least({sw_ratio} * 4, 1.0), 6)::double
+                   as quality
+          from documents
+        ), r as (
+          select doc_id, lang, quality,
+                 row_number() over (
+                   partition by lang
+                   order by cast(floor(quality*1000000 + 0.5) as bigint)
+                            desc, doc_id asc) as rn
+          from t
+        )
+        select doc_id, lang, quality from r
+        where rn <= 5 order by doc_id
     """
     # cross-document 3-gram doc frequency (distinct per doc), min_df 2,
     # top 200 by (doc_freq desc, ngram asc) — same shingle rule as the

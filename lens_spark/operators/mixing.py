@@ -451,3 +451,74 @@ def quantile_bins(
         src.join(F.broadcast(binned), on="__cell", how="left")
         .select(*df.columns, F.col("__bin").alias(bin_col))
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    id_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-group top-k by score: keep each group's k best rows
+    (score desc, ``id_col`` asc tie-break) — the "N best documents per
+    domain/language" selection rule applied with per-source quality
+    caps. NULL scores never qualify.
+
+    The naive form is a rank window partitioned by group — fine for
+    many small groups, but one giant group (the web-crawl "other"
+    bucket) serializes onto a single partition's sort. This runs the
+    token_budget_select/quantile_bins decomposition per group instead:
+
+    1. quantize scores to grid cells; count rows per (group, cell) —
+       one map-side-combinable groupBy, output bounded by
+       groups × occupied cells;
+    2. a per-group running sum DESC over that aggregated table finds
+       each group's boundary cell (cells strictly above it are fully
+       kept); the window partitions by group over CELL rows — bounded
+       by a group's occupied cells, never its row count;
+    3. rows in cells above the boundary pass with no further work
+       (map-only after a broadcast join of the tiny cell table); ONLY
+       the boundary cell's sliver gets the exact row-level window, and
+       that window is bounded by the boundary cell's own population
+       (ties at one grid value), not the group.
+
+    Quantization is order-consistent, so the result equals the naive
+    global rule exactly."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    src = df.filter(F.col(score_col).isNotNull())
+    cell = F.floor(
+        F.col(score_col).cast("double") * scale + F.lit(0.5)
+    ).cast("long")
+    per = src.withColumn("__cell", cell)
+    sizes = per.groupBy(group_col, "__cell").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wb = Window.partitionBy(group_col).orderBy(
+        F.col("__cell").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum = sizes.withColumn(
+        "__above", F.coalesce(F.sum("__n").over(wb), F.lit(0))
+    )
+    # NO forced broadcast: the cell table is groups × occupied cells —
+    # tiny for few groups but potentially large at web-domain
+    # cardinality; AQE picks broadcast from runtime size when it fits
+    # (the curate()/dedup_keep convention, ADVICE r4)
+    joined = per.join(
+        cum.select(group_col, "__cell", "__above", "__n"),
+        on=[group_col, "__cell"],
+    )
+    full = joined.filter(F.col("__above") + F.col("__n") <= k)
+    boundary = joined.filter(
+        (F.col("__above") < k) & (F.col("__above") + F.col("__n") > k)
+    )
+    wr = Window.partitionBy(group_col, "__cell").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    cut = boundary.withColumn(
+        "__r", F.row_number().over(wr)
+    ).filter(F.col("__above") + F.col("__r") <= k)
+    keep_cols = src.columns
+    return full.select(*keep_cols).unionByName(cut.select(*keep_cols))

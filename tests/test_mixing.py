@@ -304,3 +304,51 @@ class TestQuantileBins:
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
         # exactly the two bounded hist windows, nothing partitioned by row
         assert plan.count("Window") <= 2
+
+
+class TestTopKPerGroup:
+    def _naive(self, rows, k):
+        # exact rule: per group, score desc then id asc, first k
+        out = set()
+        groups = {g for _, g, _ in rows}
+        for g in groups:
+            members = sorted(
+                [(i, s) for i, gg, s in rows if gg == g and s is not None],
+                key=lambda t: (-t[1], t[0]),
+            )
+            out |= {i for i, _ in members[:k]}
+        return out
+
+    def test_equals_naive_rule_unrounded_scores(self, spark):
+        import hashlib
+
+        # scores NOT pre-rounded to the grid: distinct exact values
+        # collide into shared cells, exercising the boundary window's
+        # exact-order tie-break
+        rows = []
+        for i in range(400):
+            h = hashlib.md5(f"tk:{i}".encode()).digest()
+            rows.append((i, f"g{h[2] % 3}",
+                         (h[0] * 256 + h[1]) / 65535.0))
+        df = spark.createDataFrame(
+            rows, "id long, grp string, score double")
+        from lens_spark.operators.mixing import top_k_per_group
+
+        for k in (1, 7, 50, 1000):
+            got = {r["id"] for r in top_k_per_group(
+                df, "grp", "score", k, "id").collect()}
+            assert got == self._naive(rows, k), k
+
+    def test_nulls_excluded_validation(self, spark):
+        from lens_spark.operators.mixing import top_k_per_group
+
+        df = spark.createDataFrame(
+            [(1, "a", 0.9), (2, "a", None), (3, "b", 0.1)],
+            "id long, grp string, score double")
+        got = {r["id"] for r in top_k_per_group(
+            df, "grp", "score", 5, "id").collect()}
+        assert got == {1, 3}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            top_k_per_group(df, "grp", "score", 0, "id")
