@@ -387,3 +387,81 @@ def test_dedup_lines_equals_python_oracle(spark, texts, keep_first):
     }
     want = _dedup_lines_py(corpus, keep_first=keep_first)
     assert got == want, (texts, keep_first)
+
+
+# ----------------------- selection ops vs naive global rules (fuzzed)
+_score = st.one_of(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.none(),
+)
+_sel_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _score,
+              st.integers(0, 50), st.sampled_from(["a", "b", "c"])),
+    min_size=1, max_size=120, unique_by=lambda t: t[0],
+)
+
+
+def _cell(x, scale=1_000_000):
+    import math
+
+    return math.floor(x * scale + 0.5)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sel_rows, budget=st.integers(1, 2000),
+       k=st.integers(1, 30), n_bins=st.integers(1, 12))
+def test_selection_ops_match_naive_rules(spark, rows, budget, k, n_bins):
+    """token_budget_select / quantile_bins / top_k_per_group equal
+    their naive global formulations on adversarial inputs: negative
+    scores (negative grid cells), heavy ties, nulls, degenerate
+    single-row groups. One Spark job per op per example."""
+    from lens_spark.operators.mixing import (
+        quantile_bins, token_budget_select, top_k_per_group,
+    )
+
+    df = spark.createDataFrame(
+        rows, "id long, score double, tok long, grp string")
+
+    # token budget: keep while running total BEFORE the doc < budget
+    kept, cum = set(), 0
+    for i, s, t, _ in sorted(
+        (r for r in rows if r[1] is not None),
+        key=lambda r: (-r[1], r[0]),
+    ):
+        if cum < budget:
+            kept.add(i)
+        cum += t
+    got = {r["id"] for r in token_budget_select(
+        df, "id", "score", "tok", budget).collect()}
+    assert got == kept
+
+    # quantile bins: floor(rank0 * n / N) on the quantized grid
+    vals = sorted(_cell(s) for _, s, _, _ in rows if s is not None)
+    want_bins = {}
+    for i, s, _, _ in rows:
+        if s is None:
+            want_bins[i] = None
+        else:
+            rank0 = sum(1 for v in vals if v < _cell(s))
+            want_bins[i] = (rank0 * n_bins) // len(vals)
+    got_bins = {r["id"]: r["qbin"] for r in quantile_bins(
+        df, "score", n_bins=n_bins).collect()}
+    assert got_bins == want_bins
+
+    # per-group top-k: score desc, id asc, first k per group
+    want_top = set()
+    for g in {r[3] for r in rows}:
+        members = sorted(
+            ((i, s) for i, s, _, gg in rows
+             if gg == g and s is not None),
+            key=lambda t: (-t[1], t[0]),
+        )
+        want_top |= {i for i, _ in members[:k]}
+    got_top = {r["id"] for r in top_k_per_group(
+        df, "grp", "score", k, "id").collect()}
+    assert got_top == want_top
