@@ -600,6 +600,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id", "ord")
         )
 
+    def q_warc_records(spark, sf):
+        # WARC container source (sources/warc.py): the distributed
+        # mapInPandas parse of the deterministic fixture crawl (plain +
+        # per-record-gzip files, one deliberately truncated record →
+        # quarantine row) vs the FROZEN writer-derived expected table
+        # (scripts/freeze_warc_oracle.py — ground truth from the
+        # writer's specs and offsets, independent of the parser).
+        # Payload projected as (md5, len); -1/'' sentinels for NULLs
+        # (the multimodal convention).
+        from lens_spark.sources.warc import gen_warc, warc_records
+
+        files, _ = gen_warc(3, 24, 13)
+        df = spark.createDataFrame(files, "path string, content binary")
+        return (
+            warc_records(df)
+            .select(
+                "warc_file", "record_offset", "record_type",
+                F.coalesce("record_id", F.lit("")).alias("record_id"),
+                F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+                F.coalesce("warc_date", F.lit("")).alias("warc_date"),
+                F.coalesce("content_length", F.lit(-1)).alias(
+                    "content_length"),
+                F.coalesce("http_status", F.lit(-1)).cast("long").alias(
+                    "http_status"),
+                F.coalesce("http_content_type", F.lit("")).alias(
+                    "http_content_type"),
+                F.coalesce(F.md5("payload"), F.lit("")).alias(
+                    "payload_md5"),
+                F.coalesce(F.octet_length("payload"), F.lit(-1)).cast(
+                    "long").alias("payload_len"),
+                F.coalesce("error", F.lit("")).alias("error"),
+            )
+            .orderBy("warc_file", "record_offset")
+        )
+
     def q_image_features(spark, sf):
         # Multimodal E-path: PNG decode + feature extract over binary
         # payloads (Arrow mapInPandas), vs the FROZEN Spark-free
@@ -1825,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "lineage_counts": q_lineage_counts,
         "extract_full": q_extract_full,
+        "warc_records": q_warc_records,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
@@ -2751,6 +2787,13 @@ def oracle_sql() -> dict[str, str]:
     # multimodal operators vs frozen Spark-free expected parquet
     # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
     fixdir = "/root/repo/tests/fixtures"
+    out["warc_records"] = f"""
+        select warc_file, record_offset, record_type, record_id,
+               target_uri, warc_date, content_length, http_status,
+               http_content_type, payload_md5, payload_len, error
+        from read_parquet('{fixdir}/warc_records_expected.parquet')
+        order by warc_file, record_offset
+    """
     out["image_features"] = f"""
         select media_id, width, height, caption,
                coalesce(array_to_string(emb_q, ','), '') as emb_q, error

@@ -1,0 +1,173 @@
+"""WARC container source: writer↔parser ground-truth round trip, the
+distributed mapInPandas path, the binaryFile reader, quarantine
+behavior, and the crawl→extract chain."""
+from __future__ import annotations
+
+import gzip
+import os
+
+import pandas as pd
+import pytest
+
+from lens_spark.sources.warc import (
+    expected_warc_rows_df,
+    gen_warc,
+    iter_warc_records,
+    make_warc,
+    read_warc,
+    warc_records,
+    warc_to_documents,
+)
+
+
+def _parse_all(files):
+    got = []
+    for name, data in files:
+        for rec in iter_warc_records(data):
+            rec["warc_file"] = name
+            got.append(rec)
+    return got
+
+
+def test_parser_matches_writer_ground_truth():
+    """Every field of every record — including the deliberate
+    truncated-record quarantine row — matches the WRITER's specs, which
+    never touch the parser."""
+    files, expected = gen_warc(3, 24, 13)
+    got = _parse_all(files)
+    gdf = (
+        expected_warc_rows_df(got)
+        .sort_values(["warc_file", "record_offset"])
+        .reset_index(drop=True)
+    )
+    edf = (
+        expected_warc_rows_df(expected)
+        .sort_values(["warc_file", "record_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(gdf, edf)
+
+
+def test_gzip_member_offsets_are_compressed_offsets():
+    """Per-record-gzip offsets follow the CDX convention: the
+    COMPRESSED byte position of the record's member, so an
+    index-directed reader can range-read one record."""
+    files, expected = gen_warc(2, 8, 5)
+    name, data = files[1]  # gzip file
+    offs = [r["record_offset"] for r in expected if r["warc_file"] == name]
+    for off in offs:
+        assert data[off:off + 2] == b"\x1f\x8b"
+        # a single member starting at the offset decodes to one record
+        with gzip.GzipFile(fileobj=__import__("io").BytesIO(data[off:])) \
+                as gz:
+            plain = gz.read()
+        assert plain.startswith(b"WARC/1.1\r\n")
+
+
+def test_quarantine_resyncs_at_next_member():
+    """A corrupt member quarantines ONE row; later members still
+    parse (the per-record-gzip recovery property)."""
+    specs = [
+        {
+            "record_type": "resource",
+            "record_id": f"<urn:uuid:q-{i}>",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "target_uri": f"https://x.example/{i}",
+            "warc_content_type": "application/octet-stream",
+            "block": bytes([i]) * 10,
+        }
+        for i in range(3)
+    ]
+    data, offsets = make_warc(specs, per_record_gzip=True)
+    # corrupt the MIDDLE member's deflate stream (past its header)
+    bad = bytearray(data)
+    for p in range(offsets[1] + 12, offsets[2] - 9):
+        bad[p] ^= 0xFF
+    recs = list(iter_warc_records(bytes(bad)))
+    types = [r["record_type"] for r in recs]
+    assert types.count("resource") >= 1
+    assert "invalid" in types
+    assert recs[0]["record_type"] == "resource"
+    assert any(r["error"] for r in recs)
+
+
+def test_warc_records_spark_matches_frozen_fixture(spark):
+    """The distributed path (Arrow batches, binary transfer, output
+    re-batching) reproduces the writer-derived frozen oracle."""
+    from pyspark.sql import functions as F
+
+    files, _ = gen_warc(3, 24, 13)
+    df = spark.createDataFrame(files, "path string, content binary")
+    out = (
+        warc_records(df)
+        .select(
+            "warc_file", "record_offset", "record_type",
+            F.coalesce("record_id", F.lit("")).alias("record_id"),
+            F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+            F.coalesce("warc_date", F.lit("")).alias("warc_date"),
+            F.coalesce("content_length", F.lit(-1)).alias(
+                "content_length"),
+            F.coalesce("http_status", F.lit(-1)).cast("long").alias(
+                "http_status"),
+            F.coalesce("http_content_type", F.lit("")).alias(
+                "http_content_type"),
+            F.coalesce(F.md5("payload"), F.lit("")).alias("payload_md5"),
+            F.coalesce(F.octet_length("payload"), F.lit(-1)).cast(
+                "long").alias("payload_len"),
+            F.coalesce("error", F.lit("")).alias("error"),
+        )
+        .orderBy("warc_file", "record_offset")
+        .toPandas()
+    )
+    fix = pd.read_parquet(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "warc_records_expected.parquet")
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), fix.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_read_warc_binaryfile(spark, tmp_path):
+    files, expected = gen_warc(2, 10, 3)
+    for name, data in files:
+        (tmp_path / name).write_bytes(data)
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == len(expected)
+    by_type = {}
+    for r in out:
+        by_type[r.record_type] = by_type.get(r.record_type, 0) + 1
+    assert by_type.get("warcinfo") == 2
+    assert "invalid" in by_type  # the truncated fixture record
+
+
+def test_warc_to_extract_chain(spark):
+    """Crawl → documents(doc_id, spans) → the real extract pipeline:
+    html responses get boilerplate-stripped like any table-sourced
+    doc."""
+    from lens_spark.pipeline import extract
+
+    files, expected = gen_warc(2, 12, 9)
+    df = spark.createDataFrame(files, "path string, content binary")
+    docs = warc_to_documents(warc_records(df))
+    n_ok = sum(
+        1 for r in expected
+        if r["record_type"] == "response" and r["http_status"] == 200
+    )
+    assert docs.count() == n_ok
+    res = extract(docs)
+    rows = res.extracted.collect()
+    assert len(rows) == n_ok
+    assert all(r.spans and r.spans[0].kind in ("text", "html")
+               for r in rows)
+
+
+def test_warc_to_documents_plan_is_map_only(spark):
+    """The adapter fuses into the parse stage: no exchange anywhere."""
+    files, _ = gen_warc(1, 6, 2)
+    df = spark.createDataFrame(files, "path string, content binary")
+    plan = warc_to_documents(
+        warc_records(df)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
