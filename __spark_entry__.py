@@ -616,7 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             warc_records(df)
             .select(
-                "warc_file", "record_offset", "record_type",
+                "warc_file", "record_offset", "record_length",
+                "record_type",
                 F.coalesce("record_id", F.lit("")).alias("record_id"),
                 F.coalesce("target_uri", F.lit("")).alias("target_uri"),
                 F.coalesce("warc_date", F.lit("")).alias("warc_date"),
@@ -1097,6 +1098,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "domain")
             .orderBy("domain", "doc_id")
         )
+
+    def q_url_blocklist(spark, sf):
+        # UT1-style domain blocklist with host-SUFFIX semantics
+        # (subdomains blocked, substrings NOT): the suffix-explode
+        # equi-join vs DuckDB's exists(host = v or host like '%.'||v)
+        # — the 'xample.com' entry pins the no-substring property
+        from lens_spark.functions.urls import (
+            url_blocklist_filter, url_parse,
+        )
+
+        docs = _docs(spark, sf).withColumn("url", _synth_url())
+        bl = spark.createDataFrame(
+            [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+        )
+        out = url_blocklist_filter(docs, "url", "doc_id", bl)
+        return out.select(
+            "doc_id",
+            url_parse(F.col("url"))["host"].alias("host"),
+        ).orderBy("doc_id")
 
     def q_corpus_shuffle(spark, sf):
         # deterministic trainer-side global shuffle: (shard, pos) from
@@ -1817,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "url_parse": q_url_parse,
         "domain_caps": q_domain_caps,
+        "url_blocklist": q_url_blocklist,
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
@@ -1866,6 +1887,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "audio_chunks": q_audio_chunks,
     }
+
+
+# blocklist entries shared by q_url_blocklist and its oracle:
+# suffix matches (www./cdnN. subdomains), exact host matches, and one
+# deliberate non-match pinning the no-substring property
+_BLOCKED_DOMAINS = (
+    "src3.example.com",
+    "media.src5.net",
+    "src7.org",
+    "xample.com",
+    "blog.src1.co.uk",
+)
 
 
 def _query_vec() -> list[float]:
@@ -2788,9 +2821,10 @@ def oracle_sql() -> dict[str, str]:
     # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
     fixdir = "/root/repo/tests/fixtures"
     out["warc_records"] = f"""
-        select warc_file, record_offset, record_type, record_id,
-               target_uri, warc_date, content_length, http_status,
-               http_content_type, payload_md5, payload_len, error
+        select warc_file, record_offset, record_length, record_type,
+               record_id, target_uri, warc_date, content_length,
+               http_status, http_content_type, payload_md5,
+               payload_len, error
         from read_parquet('{fixdir}/warc_records_expected.parquet')
         order by warc_file, record_offset
     """
@@ -3736,6 +3770,22 @@ def oracle_sql() -> dict[str, str]:
     """
     # per-domain exact-k cap: row_number over (md5 bucket, doc_id)
     # within registered domain — the stratified_sample key rule
+    _bl_values = ", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)
+    out["url_blocklist"] = f"""
+        with u as (
+          select doc_id, lower(trim({_url_case})) as url from documents
+        ), p as (
+          select doc_id, regexp_extract(url, '{_url_regex}', 2) as host
+          from u
+        ), b(v) as (values {_bl_values})
+        select doc_id, host
+        from p
+        where not exists (
+          select 1 from b
+          where p.host = b.v or p.host like '%.' || b.v
+        )
+        order by doc_id
+    """
     out["domain_caps"] = f"""
         with u as (
           select doc_id, lower(trim({_url_case})) as url from documents

@@ -37,6 +37,7 @@ __all__ = [
     "url_parse",
     "registered_domain",
     "domain_caps",
+    "url_blocklist_filter",
     "GENERIC_SLD",
 ]
 
@@ -108,3 +109,60 @@ def domain_caps(
         "domain", registered_domain(url_parse(F.col(url_col))["host"])
     )
     return stratified_sample(parsed, "domain", id_col, k)
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocklist: DataFrame,
+    keep: bool = False,
+) -> DataFrame:
+    """Domain blocklist filter with HOST-SUFFIX semantics — the
+    UT1-style category-blocklist step CCNet/RefinedWeb-class pipelines
+    apply before quality filtering: a blocked entry ``example.com``
+    removes ``example.com`` AND every subdomain
+    (``ads.example.com``), but NOT ``notexample.com``.
+
+    ``blocklist`` is a one-column DataFrame of blocked domains (the
+    public UT1 lists are flat domain files; load with
+    ``spark.read.text``).  ``keep=True`` inverts the filter into an
+    allowlist.  ``id_col`` keys the docs (the domain_caps convention)
+    so the filter is an exact semi/anti join even under duplicate
+    rows.
+
+    100 TB shape: suffix matching is turned into an EQUI-join — each
+    doc's host explodes into its O(#labels) label-suffixes (a host has
+    ~2-5, bounded by label count, never corpus size), joined on the
+    blocklist's exact domain strings.  The blocklist side (UT1 ≈ 3-4 M
+    rows across all categories) is far under the broadcast knee, but
+    the hint is left to AQE (ADVICE r4: forced broadcasts fail at
+    exactly the advertised scale when a list outgrows the limit); the
+    probe side never shuffles.  No regex scan per (host × entry) —
+    cost is O(docs · labels + |blocklist|)."""
+    bl_col = blocklist.columns[0]
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(bl_col))).alias("__blocked")
+    ).filter(F.col("__blocked") != "").distinct()
+    from lens_spark.functions.hof import transform_u
+
+    host = url_parse(F.col(url_col))["host"]
+    labels = F.split(host, r"\.")
+    # host a.b.c -> [a.b.c, b.c, c]: every suffix that could appear in
+    # a domain blocklist (collision-safe lambda — functions/hof.py)
+    suffixes = transform_u(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."
+        ),
+    )
+    hit_ids = (
+        df.select(
+            F.col(id_col), F.explode(suffixes).alias("__suffix")
+        )
+        .join(bl, F.col("__suffix") == F.col("__blocked"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    how = "left_semi" if keep else "left_anti"
+    return df.join(hit_ids, on=id_col, how=how)

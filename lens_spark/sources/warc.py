@@ -51,6 +51,11 @@ from pyspark.sql.types import (
 WARC_RECORDS = StructType([
     StructField("warc_file", StringType()),
     StructField("record_offset", LongType()),
+    # stored size of the record at its offset: the compressed gzip
+    # member length for .warc.gz, the raw record span for plain WARC —
+    # together with record_offset this is exactly what a CDX index
+    # stores and what fetch_warc_records range-reads
+    StructField("record_length", LongType()),
     StructField("record_type", StringType()),
     StructField("record_id", StringType()),
     StructField("target_uri", StringType()),
@@ -94,9 +99,9 @@ def _split_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
         if not d.eof:
             raise WarcError(f"truncated gzip member at {pos}")
         consumed = len(data) - pos - len(d.unused_data)
-        yield pos, plain
         if consumed <= 0:  # defensive: no forward progress
             raise WarcError(f"zero-length gzip member at {pos}")
+        yield pos, consumed, plain
         pos += consumed
 
 
@@ -181,9 +186,12 @@ def _parse_one(buf: bytes, pos: int) -> tuple[dict[str, Any], int]:
     return rec, nxt
 
 
-def _quarantine(offset: int, err: Exception) -> dict[str, Any]:
+def _quarantine(
+    offset: int, err: Exception, length: int | None = None
+) -> dict[str, Any]:
     return {
         "record_offset": offset,
+        "record_length": length,
         "record_type": "invalid",
         "record_id": None,
         "target_uri": None,
@@ -204,16 +212,18 @@ def iter_warc_records(data: bytes) -> Iterator[dict[str, Any]]:
     plumbing reproduces the local parse byte-for-byte."""
     if data[:2] == _GZIP_MAGIC:
         try:
-            for offset, plain in _split_gzip_members(data):
+            for offset, length, plain in _split_gzip_members(data):
                 pos = 0
                 try:
                     while pos < len(plain):
                         rec, pos = _parse_one(plain, pos)
                         rec["record_offset"] = offset
+                        # CDX semantics: the member's compressed length
+                        rec["record_length"] = length
                         yield rec
                 except WarcError as e:
                     # resync at the next gzip member
-                    yield _quarantine(offset, e)
+                    yield _quarantine(offset, e, length)
         except WarcError as e:
             yield _quarantine(0, e)
         return
@@ -228,6 +238,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict[str, Any]]:
             yield _quarantine(start, e)
             return
         rec["record_offset"] = start
+        rec["record_length"] = pos - start
         yield rec
 
 
@@ -276,6 +287,106 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return warc_records(files)
+
+
+def surt_key(uri) -> F.Column:
+    """SURT-style sort key for a URI column (the public CDX(J)
+    convention: host labels reversed and comma-joined, then the path) —
+    pure Catalyst, reusing functions/urls.py's parser."""
+    from lens_spark.functions.urls import url_parse
+
+    p = url_parse(F.col(uri) if isinstance(uri, str) else uri)
+    host_rev = F.array_join(
+        F.reverse(F.split(F.lower(p["host"]), r"\.")), ","
+    )
+    return F.concat(host_rev, F.lit(")"), F.lower(p["path"]))
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """Build the CDX-style capture index from a parsed records table:
+    ``(surt, warc_date, target_uri, http_status, http_content_type,
+    payload_digest, warc_file, record_offset, record_length)`` — the
+    exact tuple the public CDXJ format stores per capture, and the
+    exact inputs :func:`fetch_warc_records` needs to range-read one
+    record out of a 1 GB archive.
+
+    100 TB shape: pure-Catalyst projection over the parse (fuses into
+    the same stage — building the index while reading the crawl costs
+    zero extra passes); callers typically write it sorted by ``surt``
+    so lookups partition-prune."""
+    ok = records.filter(
+        F.col("error").isNull() & (F.col("record_type") == "response")
+    )
+    return ok.select(
+        surt_key("target_uri").alias("surt"),
+        "warc_date",
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        F.md5("payload").alias("payload_digest"),
+        "warc_file",
+        "record_offset",
+        "record_length",
+    )
+
+
+def fetch_warc_records(index: DataFrame) -> DataFrame:
+    """Index-directed record fetch: given rows carrying ``(warc_file,
+    record_offset, record_length)`` (a :func:`cdx_index` selection),
+    range-read and parse ONLY those records — never the surrounding
+    archive.  This is the lookup path the module docstring promises:
+    gzip members are independently decodable, so offset+length is all
+    a reader needs.
+
+    100 TB shape: each fetch reads ``record_length`` bytes (KBs), so a
+    point lookup over a crawl costs O(selected records), not O(archive
+    bytes); rows are pre-sorted within partitions by (file, offset) so
+    per-file handles are opened once and seeks are forward-only.  Local
+    and ``file:`` paths are supported in-sandbox; on a cluster the same
+    open/seek contract is served by the distributed filesystem client.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[dict[str, Any]] = []
+        handle = None
+        handle_name: str | None = None
+        try:
+            for b in it:
+                for name, off, ln in zip(
+                    b["warc_file"], b["record_offset"],
+                    b["record_length"],
+                ):
+                    path = str(name)
+                    if path.startswith("file:"):
+                        path = path[5:]
+                        while path.startswith("//"):
+                            path = path[1:]
+                    if handle is None or handle_name != path:
+                        if handle is not None:
+                            handle.close()
+                        handle = open(path, "rb")
+                        handle_name = path
+                    handle.seek(int(off))
+                    chunk = handle.read(int(ln))
+                    for rec in iter_warc_records(chunk):
+                        # offsets inside the slice are slice-relative;
+                        # report archive coordinates
+                        rec["record_offset"] = int(off)
+                        rec["record_length"] = int(ln)
+                        rec["warc_file"] = str(name)
+                        rows.append(rec)
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS)
+                    rows = []
+        finally:
+            if handle is not None:
+                handle.close()
+
+    return (
+        index.select("warc_file", "record_offset", "record_length")
+        .sortWithinPartitions("warc_file", "record_offset")
+        .mapInPandas(batches, WARC_RECORDS)
+    )
 
 
 def warc_to_documents(records: DataFrame) -> DataFrame:
@@ -343,15 +454,16 @@ def _warc_headers(rec: dict[str, Any], block: bytes) -> bytes:
 
 def make_warc(
     records: list[dict[str, Any]], per_record_gzip: bool
-) -> tuple[bytes, list[int]]:
-    """Serialize records to WARC bytes; returns ``(bytes, offsets)``
-    with each record's offset as the reader reports it (compressed
-    member offset when gzipped).  ``records`` entries carry
-    ``record_type record_id warc_date [target_uri] [warc_content_type]
-    block`` — ``block`` is the full record block (HTTP headers included
-    for response records)."""
+) -> tuple[bytes, list[int], list[int]]:
+    """Serialize records to WARC bytes; returns ``(bytes, offsets,
+    lengths)`` with each record's offset/length as the reader reports
+    them (compressed member extent when gzipped).  ``records`` entries
+    carry ``record_type record_id warc_date [target_uri]
+    [warc_content_type] block`` — ``block`` is the full record block
+    (HTTP headers included for response records)."""
     out = b""
     offsets: list[int] = []
+    lengths: list[int] = []
     for rec in records:
         body = _warc_headers(rec, rec["block"]) + rec["block"] + _HDR_END
         offsets.append(len(out))
@@ -365,7 +477,8 @@ def make_warc(
             out += buf.getvalue()
         else:
             out += body
-    return out, offsets
+        lengths.append(len(out) - offsets[-1])
+    return out, offsets, lengths
 
 
 def _http_block(
@@ -484,9 +597,10 @@ def gen_warc(
                     "http_status": None, "http_content_type": None,
                     "payload": blob, "error": None,
                 })
-        data, offsets = make_warc(specs, per_record_gzip=fi > 0)
-        for row, off in zip(rows, offsets):
+        data, offsets, lengths = make_warc(specs, per_record_gzip=fi > 0)
+        for row, off, ln in zip(rows, offsets, lengths):
             row["record_offset"] = off
+            row["record_length"] = ln
             row["warc_file"] = name
         if fi == n_files - 1:
             # append a truncated record: claim more bytes than we write
@@ -507,6 +621,7 @@ def gen_warc(
                 gz.write(bad)
             rows.append({
                 "warc_file": name, "record_offset": len(data),
+                "record_length": len(buf.getvalue()),
                 "record_type": "invalid", "record_id": None,
                 "target_uri": None, "warc_date": None,
                 "content_length": None, "http_status": None,
@@ -531,6 +646,10 @@ def expected_warc_rows_df(rows: list[dict[str, Any]]) -> pd.DataFrame:
         out.append({
             "warc_file": r["warc_file"],
             "record_offset": int(r["record_offset"]),
+            "record_length": (
+                -1 if r.get("record_length") is None
+                else int(r["record_length"])
+            ),
             "record_type": r["record_type"],
             "record_id": r["record_id"] or "",
             "target_uri": r["target_uri"] or "",
@@ -550,7 +669,7 @@ def expected_warc_rows_df(rows: list[dict[str, Any]]) -> pd.DataFrame:
             "error": r["error"] or "",
         })
     df = pd.DataFrame(out)
-    for c in ("record_offset", "content_length", "http_status",
-              "payload_len"):
+    for c in ("record_offset", "record_length", "content_length",
+              "http_status", "payload_len"):
         df[c] = df[c].astype("int64")
     return df

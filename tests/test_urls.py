@@ -82,3 +82,49 @@ def test_parse_plan_is_map_only(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_url_blocklist_suffix_semantics(spark):
+    from lens_spark.functions.urls import url_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/x"),    # subdomain -> blocked
+            (2, "https://example.com/y"),        # exact -> blocked
+            (3, "https://notexample.com/z"),     # substring -> KEPT
+            (4, "https://deep.a.b.tracker.net/q"),  # deep subdomain
+            (5, "https://clean.org/ok"),
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("tracker.net",)], "domain string"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in url_blocklist_filter(docs, "url", "doc_id", bl).collect()
+    )
+    assert kept == [3, 5]
+    allowed = sorted(
+        r.doc_id
+        for r in url_blocklist_filter(
+            docs, "url", "doc_id", bl, keep=True
+        ).collect()
+    )
+    assert allowed == [1, 2, 4]
+
+
+def test_url_blocklist_normalizes_entries(spark):
+    from lens_spark.functions.urls import url_blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://www.shady.example/x"), (2, "https://ok.example/y")],
+        "doc_id long, url string",
+    )
+    # messy blocklist file: whitespace, case, blank line
+    bl = spark.createDataFrame(
+        [("  Shady.EXAMPLE ",), ("",)], "value string"
+    )
+    kept = [r.doc_id for r in
+            url_blocklist_filter(docs, "url", "doc_id", bl).collect()]
+    assert kept == [2]

@@ -78,7 +78,7 @@ def test_quarantine_resyncs_at_next_member():
         }
         for i in range(3)
     ]
-    data, offsets = make_warc(specs, per_record_gzip=True)
+    data, offsets, _lengths = make_warc(specs, per_record_gzip=True)
     # corrupt the MIDDLE member's deflate stream (past its header)
     bad = bytearray(data)
     for p in range(offsets[1] + 12, offsets[2] - 9):
@@ -101,7 +101,7 @@ def test_warc_records_spark_matches_frozen_fixture(spark):
     out = (
         warc_records(df)
         .select(
-            "warc_file", "record_offset", "record_type",
+            "warc_file", "record_offset", "record_length", "record_type",
             F.coalesce("record_id", F.lit("")).alias("record_id"),
             F.coalesce("target_uri", F.lit("")).alias("target_uri"),
             F.coalesce("warc_date", F.lit("")).alias("warc_date"),
@@ -140,6 +140,46 @@ def test_read_warc_binaryfile(spark, tmp_path):
         by_type[r.record_type] = by_type.get(r.record_type, 0) + 1
     assert by_type.get("warcinfo") == 2
     assert "invalid" in by_type  # the truncated fixture record
+
+
+def test_cdx_index_and_fetch_roundtrip(spark, tmp_path):
+    """The scale lookup path: build the CDX index while parsing, then
+    range-read single records back by (file, offset, length) — payload
+    digests must match the full parse, and the fetch must read record
+    extents, never whole archives."""
+    from pyspark.sql import functions as F
+
+    from lens_spark.sources.warc import cdx_index, fetch_warc_records
+
+    files, _ = gen_warc(2, 12, 21)
+    for name, data in files:
+        (tmp_path / name).write_bytes(data)
+    recs = read_warc(spark, str(tmp_path))
+    idx = cdx_index(recs)
+    idx_rows = idx.collect()
+    assert idx_rows and all(
+        r.surt and ")" in r.surt and r.record_length > 0
+        for r in idx_rows
+    )
+    fetched = (
+        fetch_warc_records(idx)
+        .select("record_id", F.md5("payload").alias("digest"))
+        .collect()
+    )
+    want = {
+        (r.target_uri, r.payload_digest) for r in idx_rows
+    }
+    got_ids = {r.record_id for r in fetched}
+    full = {
+        r.record_id: r for r in recs.filter(
+            "record_type = 'response'").collect()
+    }
+    assert got_ids == set(full)
+    digs = {r.record_id: r.digest for r in fetched}
+    import hashlib
+    for rid, row in full.items():
+        assert digs[rid] == hashlib.md5(bytes(row.payload)).hexdigest()
+    assert len(want) == len(idx_rows)
 
 
 def test_warc_to_extract_chain(spark):
