@@ -1235,6 +1235,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "shard int, n_docs long"
         ).orderBy("shard")
 
+    def q_mds_manifest(spark, sf):
+        # MDS (MosaicML streaming) sink E2E: md5-shard documents
+        # (corpus_shuffle rule, seed 42), write REAL .mds shards +
+        # index.json, return per-shard sample counts. Same
+        # SQL-mirrorable membership rule as wds_manifest; shard BYTES
+        # are pinned by tests/test_export.py (byte-identical reruns,
+        # exact layout offsets) and the gated real-loader test.
+        import tempfile
+
+        from lens_spark.sources.export import export_mds
+
+        out = tempfile.mkdtemp(prefix="lens_mds_")
+        man = export_mds(
+            _docs(spark, sf), out, "doc_id",
+            {"doc_id": "int", "text": "str", "source": "str"},
+            n_shards=8, seed="42",
+        )
+        rows = [(int(s["shard"]), int(s["samples"]))
+                for s in man["shards"]]
+        return spark.createDataFrame(
+            rows, "shard int, samples long"
+        ).orderBy("shard")
+
     def q_image_phash(spark, sf):
         # perceptual hash (dHash) over binary image payloads: Arrow
         # mapInPandas, one long out per image, corrupt rows -> (-1,
@@ -1841,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
+        "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
         "quantile_bins": q_quantile_bins,
         "top_k_per_group": q_top_k_per_group,
@@ -3719,6 +3743,12 @@ def oracle_sql() -> dict[str, str]:
         select (('0x' || substr(md5('42:' || cast(doc_id as varchar)),
                                 1, 8))::bigint % 8)::int as shard,
                count(*)::bigint as n_docs
+        from documents group by shard order by shard
+    """
+    out["mds_manifest"] = r"""
+        select (('0x' || substr(md5('42:' || cast(doc_id as varchar)),
+                                1, 8))::bigint % 8)::int as shard,
+               count(*)::bigint as samples
         from documents group by shard order by shard
     """
     # URL synthesis + parse + registered domain: the same four URL

@@ -212,3 +212,201 @@ def export_webdataset(
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+# --------------------------------------------------------------- MDS
+# MosaicML streaming's MDS v2 shard layout (public format,
+# mosaicml/streaming base/format/mds):
+#   shard file = u32le num_samples
+#              | u32le offsets[num_samples+1]   (absolute file positions;
+#                offsets[0] = 4 + 4*(n+1))
+#              | sample bytes
+#   sample     = u32le sizes[variable-size columns, in column order]
+#              | datum bytes per column, columns sorted by name
+# index.json = {"shards": [per-shard config], "version": 2}
+MDS_ENCODERS = {
+    "str": lambda v: ("" if v is None else str(v)).encode("utf-8"),
+    "bytes": lambda v: b"" if v is None else bytes(v),
+    "int": lambda v: int(0 if v is None else v).to_bytes(
+        8, "little", signed=True),
+}
+MDS_SIZES = {"str": None, "bytes": None, "int": 8}
+
+
+def mds_decode_shard(data: bytes, names, encodings) -> list[dict]:
+    """Decode one MDS shard (the reader side of the layout above) —
+    used by tests and by the gated real-loader parity check."""
+    import struct
+
+    (n,) = struct.unpack_from("<I", data, 0)
+    offsets = struct.unpack_from(f"<{n + 1}I", data, 4)
+    out = []
+    for i in range(n):
+        sample = data[offsets[i]:offsets[i + 1]]
+        n_var = sum(1 for e in encodings if MDS_SIZES[e] is None)
+        sizes = list(struct.unpack_from(f"<{n_var}I", sample, 0))
+        pos = 4 * n_var
+        row = {}
+        for name, enc in zip(names, encodings):
+            ln = MDS_SIZES[enc] if MDS_SIZES[enc] is not None \
+                else sizes.pop(0)
+            datum = sample[pos:pos + ln]
+            pos += ln
+            if enc == "str":
+                row[name] = datum.decode("utf-8")
+            elif enc == "int":
+                row[name] = int.from_bytes(datum, "little", signed=True)
+            else:
+                row[name] = datum
+        out.append(row)
+    return out
+
+
+def export_mds(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    columns: dict[str, str],
+    n_shards: int = 8,
+    seed: str = "0",
+) -> dict:
+    """Write ``df`` as MDS shards + ``index.json`` (the MosaicML
+    streaming trainer format, third exporter next to JSONL and
+    WebDataset) and return the manifest dict.
+
+    ``columns`` maps exported column → MDS encoding (``str`` /
+    ``bytes`` / ``int``); column order in the shard is sorted by name
+    (the MDSWriter convention).  Sharding and intra-shard order reuse
+    :func:`~lens_spark.operators.mixing.corpus_shuffle`'s md5 rule, so
+    re-runs produce BYTE-IDENTICAL shards (no timestamps inside shard
+    bytes or index.json; the run stamp lives in our MANIFEST.json
+    only).
+
+    Scale shape: one repartition on ``shard`` + sortWithinPartitions
+    + one mapInPandas.  A shard's encoded samples are buffered in
+    memory before the write because the offset table precedes the data
+    — the SAME trade the reference MDSWriter makes — so memory is
+    bounded by one shard; size ``n_shards`` for ~1 GB shards at the
+    target scale.  The real ``streaming`` loader is pinned by a gated
+    test (tests/test_gated_production.py pattern) since the package
+    isn't in this container; the layout itself is round-trip-tested by
+    our own reader."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    from lens_spark.operators.mixing import corpus_shuffle
+
+    names = sorted(columns)
+    encodings = [columns[c] for c in names]
+    for e in encodings:
+        if e not in MDS_ENCODERS:
+            raise ValueError(f"unsupported MDS encoding: {e}")
+    # shards live NEXT TO index.json with plain basenames — the layout
+    # the real streaming loader resolves
+    data_dir = out_dir
+    os.makedirs(data_dir, exist_ok=True)
+
+    addressed = (
+        corpus_shuffle(df, id_col, n_shards, seed)
+        .select(*names, "shard", "pos")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+
+    def write_shards(batches):
+        samples: dict[int, list[bytes]] = {}
+
+        def encode(d) -> bytes:
+            sizes, data = [], []
+            for name, enc in zip(names, encodings):
+                v = d[name]
+                datum = MDS_ENCODERS[enc](
+                    v.item() if hasattr(v, "item") else v
+                )
+                if MDS_SIZES[enc] is None:
+                    sizes.append(len(datum))
+                data.append(datum)
+            return struct.pack(f"<{len(sizes)}I", *sizes) + b"".join(data)
+
+        def flush(s: int):
+            enc_samples = samples.pop(s)
+            n = len(enc_samples)
+            lens = [len(b) for b in enc_samples]
+            first = 4 + 4 * (n + 1)
+            offs = [first]
+            for ln in lens:
+                offs.append(offs[-1] + ln)
+            blob = (
+                struct.pack("<I", n)
+                + struct.pack(f"<{n + 1}I", *offs)
+                + b"".join(enc_samples)
+            )
+            base = f"shard.{s:05d}.mds"
+            path = os.path.join(data_dir, base)
+            with open(path, "wb") as f:
+                f.write(blob)
+            return (s, base, n, len(blob),
+                    hashlib.md5(blob).hexdigest())
+
+        done = []
+        for b in batches:
+            for d in b.to_dict("records"):
+                samples.setdefault(int(d["shard"]), []).append(encode(d))
+        for s in sorted(samples):
+            done.append(flush(s))
+        if done:
+            yield pd.DataFrame(
+                done,
+                columns=["shard", "file", "samples", "bytes", "md5"],
+            )
+
+    shard_rows = sorted(
+        (r.asDict() for r in addressed.mapInPandas(
+            write_shards,
+            "shard int, file string, samples long, bytes long, "
+            "md5 string",
+        ).collect()),
+        key=lambda r: r["shard"],
+    )
+    sizes = [MDS_SIZES[e] for e in encodings]
+    index = {
+        "shards": [
+            {
+                "column_encodings": encodings,
+                "column_names": names,
+                "column_sizes": sizes,
+                "compression": None,
+                "format": "mds",
+                "hashes": [],
+                "raw_data": {
+                    "basename": r["file"],
+                    "bytes": int(r["bytes"]),
+                    "hashes": {},
+                },
+                "samples": int(r["samples"]),
+                "size_limit": None,
+                "version": 2,
+                "zip_data": None,
+            }
+            for r in shard_rows
+        ],
+        "version": 2,
+    }
+    with open(os.path.join(out_dir, "index.json"), "w") as f:
+        json.dump(index, f, sort_keys=True)
+    manifest = {
+        "format": "mds",
+        "columns": names,
+        "encodings": encodings,
+        "rows": int(sum(r["samples"] for r in shard_rows)),
+        "n_shards_requested": n_shards,
+        "n_shards": len(shard_rows),
+        "seed": seed,
+        "shards": shard_rows,
+        "created_unix": int(time.time()),
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

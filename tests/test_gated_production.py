@@ -282,3 +282,27 @@ def test_iceberg_table_roundtrip(spark):
         assert len({s1, s2, s3}) == 3 and None not in {s1, s2, s3}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
+# ----------------------------------------------------------------- MDS
+@pytest.mark.skipif(not _has("streaming"),
+                    reason="mosaicml streaming not installed")
+def test_mds_real_loader_reads_our_shards(spark, tmp_path):
+    """The REAL MosaicML streaming loader reads shards written by
+    export_mds — pins our byte layout against the published reader,
+    not just our own decoder."""
+    from streaming import LocalDataset  # pragma: no cover
+
+    from lens_spark.sources.export import export_mds  # pragma: no cover
+
+    df = spark.createDataFrame(  # pragma: no cover
+        [(i, f"text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "mds")  # pragma: no cover
+    export_mds(df, out, "doc_id",  # pragma: no cover
+               {"doc_id": "int", "text": "str"}, n_shards=2)
+    ds = LocalDataset(local=out)  # pragma: no cover
+    got = {ds[i]["doc_id"]: ds[i]["text"]  # pragma: no cover
+           for i in range(len(ds))}
+    assert got == {i: f"text {i}" for i in range(40)}  # pragma: no cover
