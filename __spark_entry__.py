@@ -522,6 +522,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def q_attributes_mix(spark, sf):
+        # Dolma-style attribute sidecar E2E: tag (gopher metrics) ->
+        # write_attributes through the REAL LensTable (merge-upsert,
+        # snapshot commit) -> read back -> merge onto the corpus ->
+        # apply_mix boolean rule. The oracle recomputes the same gopher
+        # m-CTE and filter — the sidecar round trip must be lossless.
+        import tempfile
+
+        from lens_spark.attributes import (
+            apply_mix, merge_attributes, read_attributes,
+            write_attributes,
+        )
+        from lens_spark.functions.text import gopher_quality_metrics
+
+        docs = _docs(spark, sf)
+        m = gopher_quality_metrics(F.col("text"))
+        tagged = docs.select(
+            "doc_id",
+            m["n_words"].alias("n_words"),
+            m["stop_hits"].alias("stop_hits"),
+        )
+        store = tempfile.mkdtemp(prefix="lens_attrs_")
+        write_attributes(
+            tagged, store, "doc_id", ["n_words", "stop_hits"], "gopher"
+        )
+        merged = merge_attributes(
+            docs, [read_attributes(spark, store)], "doc_id"
+        )
+        kept = apply_mix(merged, "gopher__n_words >= 60")
+        return kept.select(
+            "doc_id", "gopher__n_words", "gopher__stop_hits"
+        ).orderBy("doc_id")
+
     def q_repetition(spark, sf):
         # within-doc repetition (Gopher repetition filters' core):
         # duplicate-line and duplicate-3-gram fractions
@@ -1116,6 +1149,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "doc_id",
             url_parse(F.col("url"))["host"].alias("host"),
+        ).orderBy("doc_id")
+
+    def q_robots_filter(spark, sf):
+        # robots.txt corpus hygiene (RFC 9309): parse two fixture
+        # robots bodies (group selection: lensbot-specific group beats
+        # the * group on src1; * fallback blocks all of src4.org),
+        # then filter the synthesized URL corpus by longest-match /
+        # allow-wins-ties precedence. The oracle mirrors the resulting
+        # VERDICTS (host/path cases); the parse itself is pinned by
+        # tests/test_robots.py.
+        from lens_spark.functions.robots import (
+            robots_filter, robots_rules,
+        )
+        from lens_spark.functions.urls import url_parse
+
+        # sources correlate with doc_id%4 (source srcN ⇒ doc_id%20 == N
+        # ⇒ url shape N%4), so only N%4==0 sources ever produce the
+        # www.*.example.com shape and only N%4==2 the bare .org shape —
+        # src8 / src6 make both rule sets actually fire
+        body1 = (
+            "User-agent: *\nDisallow: /\n\n"
+            "User-agent: lensbot\nDisallow: /p/\nAllow: /p/1*\n"
+        )
+        body2 = (
+            "User-agent: googlebot\nAllow: /\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+        robots = spark.createDataFrame(
+            [
+                ("https://www.src8.example.com/robots.txt",
+                 body1.encode()),
+                ("https://src6.org/robots.txt", body2.encode()),
+            ],
+            "url string, body binary",
+        )
+        rules = robots_rules(robots, "url", "body", agent="lensbot")
+        urls = _docs(spark, sf).withColumn("url", _synth_url())
+        kept = robots_filter(urls, rules, "url", "doc_id")
+        return kept.select(
+            "doc_id", url_parse(F.col("url"))["host"].alias("host")
         ).orderBy("doc_id")
 
     def q_corpus_shuffle(spark, sf):
@@ -1861,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parse": q_url_parse,
         "domain_caps": q_domain_caps,
         "url_blocklist": q_url_blocklist,
+        "robots_filter": q_robots_filter,
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
@@ -1898,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
+        "attributes_mix": q_attributes_mix,
         "repetition_ratios": q_repetition,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -1916,12 +1991,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # blocklist entries shared by q_url_blocklist and its oracle:
 # suffix matches (www./cdnN. subdomains), exact host matches, and one
 # deliberate non-match pinning the no-substring property
+# sources correlate with the URL shape (srcN ⇒ doc_id%20==N ⇒ shape
+# N%4), so entries must target sources whose shape actually produces
+# the host: N%4==0 → www.srcN.example.com, 3 → cdnX.media.srcN.net,
+# 2 → srcN.org, 1 → blog.srcN.co.uk
 _BLOCKED_DOMAINS = (
-    "src3.example.com",
-    "media.src5.net",
-    "src7.org",
-    "xample.com",
-    "blog.src1.co.uk",
+    "src4.example.com",   # suffix hit via www. subdomain (shape 0)
+    "media.src7.net",     # deep-subdomain hit via cdnX. (shape 3)
+    "src6.org",           # exact-host hit (shape 2)
+    "xample.com",         # must hit NOTHING (no substring matching)
+    "blog.src1.co.uk",    # exact-host hit (shape 1)
 )
 
 
@@ -3751,6 +3830,34 @@ def oracle_sql() -> dict[str, str]:
                count(*)::bigint as samples
         from documents group by shard order by shard
     """
+    # attribute-sidecar round trip: same n_words/stop_hits measures as
+    # the gopher_quality oracle's m-CTE, filtered by the mix rule
+    out["attributes_mix"] = r"""
+        with t as (
+          select doc_id,
+                 list_filter(string_split_regex(text, '\s+'),
+                             w -> len(w) > 0) as ws,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             w -> len(w) > 0) as lws
+          from documents
+        ), m as (
+          select doc_id,
+                 len(ws) as gopher__n_words,
+                 (list_contains(lws, 'the')::int
+                  + list_contains(lws, 'be')::int
+                  + list_contains(lws, 'to')::int
+                  + list_contains(lws, 'of')::int
+                  + list_contains(lws, 'and')::int
+                  + list_contains(lws, 'that')::int
+                  + list_contains(lws, 'have')::int
+                  + list_contains(lws, 'with')::int) as gopher__stop_hits
+          from t
+        )
+        select doc_id, gopher__n_words, gopher__stop_hits
+        from m
+        where gopher__n_words >= 60
+        order by doc_id
+    """
     # URL synthesis + parse + registered domain: the same four URL
     # shapes built from (doc_id, source), the same RE2 regexp, the same
     # public-suffix-lite label rules (generic SLD under 2-letter cc →
@@ -3813,6 +3920,27 @@ def oracle_sql() -> dict[str, str]:
         where not exists (
           select 1 from b
           where p.host = b.v or p.host like '%.' || b.v
+        )
+        order by doc_id
+    """
+    out["robots_filter"] = f"""
+        with u as (
+          select doc_id, lower(trim({_url_case})) as url from documents
+        ), p as (
+          select doc_id,
+                 regexp_extract(url, '{_url_regex}', 2) as host,
+                 case when regexp_extract(url, '{_url_regex}', 4) = ''
+                      then '/'
+                      else regexp_extract(url, '{_url_regex}', 4)
+                 end as path
+          from u
+        )
+        select doc_id, host
+        from p
+        where not (
+          (host = 'www.src8.example.com' and path like '/p/%'
+             and not regexp_matches(path, '^/p/1.*'))
+          or host = 'src6.org'
         )
         order by doc_id
     """
