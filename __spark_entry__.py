@@ -1132,6 +1132,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("domain", "doc_id")
         )
 
+    def q_pagerank(spark, sf):
+        # integer-exact PageRank (operators/graph.py) over a
+        # deterministic synthetic link graph on the 97-node id ring —
+        # the oracle UNROLLS the same 3 rounds (the embedding_kmeans
+        # convention); integers only, hash-parity by construction
+        from lens_spark.operators.graph import pagerank
+
+        d = _docs(spark, sf)
+        e1 = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+        )
+        e2 = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
+        )
+        return (
+            pagerank(e1.unionByName(e2), "src", "dst", iters=3)
+            .select("node", F.col("rank").alias("pr"))
+            .orderBy("node")
+        )
+
+    def q_degree_stats(spark, sf):
+        # per-node in/out degree over the same synthetic multigraph
+        # (multi-edges count — degree_stats does not dedup)
+        from lens_spark.operators.graph import degree_stats
+
+        d = _docs(spark, sf)
+        e1 = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 7 + 3) % 97).alias("dst"),
+        )
+        e2 = d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            ((F.col("doc_id") * 13 + 5) % 97).alias("dst"),
+        )
+        return (
+            degree_stats(e1.unionByName(e2), "src", "dst")
+            .orderBy("node")
+        )
+
     def q_url_blocklist(spark, sf):
         # UT1-style domain blocklist with host-SUFFIX semantics
         # (subdomains blocked, substrings NOT): the suffix-explode
@@ -1935,6 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "url_blocklist": q_url_blocklist,
         "robots_filter": q_robots_filter,
+        "pagerank": q_pagerank,
+        "degree_stats": q_degree_stats,
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
@@ -3922,6 +3965,82 @@ def oracle_sql() -> dict[str, str]:
           where p.host = b.v or p.host like '%.' || b.v
         )
         order by doc_id
+    """
+    # ---- integer-exact PageRank: unroll 3 rounds (kmeans convention).
+    # DuckDB '//' is integer division on BIGINT, matching Spark's
+    # F.floor(a/b) on non-negative values.
+    _pr_base = """
+        e as (
+          select distinct src, dst from (
+            select doc_id % 97 as src, (doc_id*7+3) % 97 as dst
+            from documents
+            union all
+            select doc_id % 97, (doc_id*13+5) % 97 from documents
+          )
+        ),
+        nodes as (
+          select distinct node from (
+            select src as node from e union select dst from e
+          )
+        ),
+        cnt as (select count(*)::bigint as n from nodes),
+        deg as (
+          select nodes.node, coalesce(o.d, 0)::bigint as deg
+          from nodes left join (
+            select src as node, count(*)::bigint as d from e group by 1
+          ) o using (node)
+        ),
+        r0 as (
+          select node,
+                 (select 1000000000::bigint // n from cnt)::bigint as pr
+          from nodes
+        )
+    """
+    _pr_rounds = ""
+    for _i in (1, 2, 3):
+        _p = _i - 1
+        _pr_rounds += f""",
+        d{_i} as (
+          select coalesce(sum(r.pr), 0)::bigint as s
+          from r{_p} r join deg using (node) where deg.deg = 0
+        ),
+        c{_i} as (
+          select e.dst as node, sum(r.pr // deg.deg)::bigint as m
+          from e
+          join r{_p} r on e.src = r.node
+          join deg on deg.node = e.src
+          where deg.deg > 0
+          group by e.dst
+        ),
+        r{_i} as (
+          select n.node,
+                 (((select 15::bigint * 1000000000 // n from cnt)
+                   + 85::bigint * (coalesce(c.m, 0)
+                           + (select s from d{_i})
+                             // (select n from cnt)))
+                  // 100)::bigint as pr
+          from nodes n left join c{_i} c using (node)
+        )"""
+    out["pagerank"] = (
+        "with " + _pr_base + _pr_rounds
+        + " select node, pr from r3 order by node"
+    )
+    out["degree_stats"] = """
+        with e as (
+            select doc_id % 97 as src, (doc_id*7+3) % 97 as dst
+            from documents
+            union all
+            select doc_id % 97, (doc_id*13+5) % 97 from documents
+        ),
+        o as (select src as node, count(*)::bigint as d
+              from e group by 1),
+        i as (select dst as node, count(*)::bigint as d
+              from e group by 1)
+        select coalesce(o.node, i.node) as node,
+               coalesce(o.d, 0)::bigint as out_degree,
+               coalesce(i.d, 0)::bigint as in_degree
+        from o full outer join i on o.node = i.node
+        order by node
     """
     out["robots_filter"] = f"""
         with u as (
