@@ -555,6 +555,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "gopher__n_words", "gopher__stop_hits"
         ).orderBy("doc_id")
 
+    def q_compression(spark, sf):
+        # zlib compression-ratio quality signal (functions/compress.py)
+        # vs the FROZEN Spark-free expected parquet
+        # (scripts/freeze_compress_oracle.py); exact integers
+        # (basis-point floor), -1 sentinel for empty/null text
+        from lens_spark.functions.compress import compression_signals
+
+        return (
+            compression_signals(_docs(spark, sf), "doc_id", "text")
+            .orderBy("doc_id")
+        )
+
     def q_repetition(spark, sf):
         # within-doc repetition (Gopher repetition filters' core):
         # duplicate-line and duplicate-3-gram fractions
@@ -1130,6 +1142,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             domain_caps(docs, "url", "doc_id", k=15)
             .select("doc_id", "domain")
             .orderBy("domain", "doc_id")
+        )
+
+    def q_lsh_tuning(spark, sf):
+        # LSH banding tuner: measured precision/recall per (bands,
+        # rows) on the deterministic md5-order sample — the report a
+        # 100 TB dedup launch is tuned from; the oracle recomputes
+        # sample, exact Jaccard, signatures, band collisions and the
+        # basis-point metrics hash-exactly
+        from lens_spark.operators.tuning import lsh_tuning_report
+
+        # sample_k=350 / tau=2000: the sf0.01 corpus' dup families put
+        # 9 true pairs in this sample, so recall actually varies across
+        # configs (150/3500 left a 1-pair report)
+        return lsh_tuning_report(
+            _docs(spark, sf), "doc_id", "text",
+            num_hashes=8, band_configs=(1, 2, 4, 8),
+            sample_k=350, tau_bp=2000, hash_fn="md5",
+        )
+
+    def q_hll_registers(spark, sf):
+        # engine-portable HyperLogLog register table (p=12) over the
+        # doc_id key universe: md5 bucket + branch-free trailing-zero
+        # rho (bit_count identity) — pure integer ops both engines own
+        from lens_spark.operators.sketch import hll_registers
+
+        return (
+            hll_registers(_docs(spark, sf), "doc_id")
+            .select("bucket", F.col("rho").cast("int").alias("rho"))
+            .orderBy("bucket")
         )
 
     def q_pagerank(spark, sf):
@@ -1978,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
+        "hll_registers": q_hll_registers,
+        "lsh_tuning": q_lsh_tuning,
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wds_manifest": q_wds_manifest,
@@ -2016,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "gopher_quality": q_gopher_quality,
         "attributes_mix": q_attributes_mix,
+        "compression_ratio": q_compression,
         "repetition_ratios": q_repetition,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_fingerprint,
@@ -2966,6 +3010,11 @@ def oracle_sql() -> dict[str, str]:
     # multimodal operators vs frozen Spark-free expected parquet
     # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
     fixdir = "/root/repo/tests/fixtures"
+    out["compression_ratio"] = f"""
+        select doc_id, raw_len, comp_len, ratio_q
+        from read_parquet('{fixdir}/compress_expected.parquet')
+        order by doc_id
+    """
     out["warc_records"] = f"""
         select warc_file, record_offset, record_length, record_type,
                record_id, target_uri, warc_date, content_length,
@@ -3965,6 +4014,92 @@ def oracle_sql() -> dict[str, str]:
           where p.host = b.v or p.host like '%.' || b.v
         )
         order by doc_id
+    """
+    # ---- LSH banding tuner: full recompute (sample -> exact jaccard
+    # -> md5 signatures -> per-config band collisions -> bp metrics)
+    _tcfgs = (1, 2, 4, 8)
+    _tn = 8
+    _cand_exprs = []
+    for _b in _tcfgs:
+        _r = _tn // _b
+        _terms = " or ".join(
+            f"sa[{_i * _r + 1}:{(_i + 1) * _r}] = "
+            f"sb[{_i * _r + 1}:{(_i + 1) * _r}]"
+            for _i in range(_b)
+        )
+        _cand_exprs.append(f"({_terms})::int as c{_b}")
+    _agg_exprs = ", ".join(
+        f"sum(c{_b})::bigint as cand_{_b}, "
+        f"sum(c{_b} * dup)::bigint as caught_{_b}"
+        for _b in _tcfgs
+    )
+    _cfg_selects = " union all ".join(
+        f"""select {_b}::int as bands, 8::int as num_hashes,
+               {_tn // _b}::int as rows_per_band,
+               n_pairs, cand_{_b} as candidates, dups,
+               caught_{_b} as caught,
+               (caught_{_b} * 10000 // greatest(cand_{_b}, 1))::bigint
+                 as precision_bp,
+               (caught_{_b} * 10000 // greatest(dups, 1))::bigint
+                 as recall_bp
+        from agg"""
+        for _b in _tcfgs
+    )
+    out["lsh_tuning"] = f"""
+        with toks as (
+          select doc_id, {ws_toks} as tk from documents
+        ), sh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_sort(list_distinct([array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk)-2, 1)+1)]))
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        ), samp as (
+          select doc_id, shingles from sh
+          order by md5(cast(doc_id as varchar)), doc_id
+          limit 350
+        ), sigs as (
+          select doc_id, shingles,
+            [list_min(list_transform(shingles,
+                                     s -> md5(concat(h, ':', s))))
+             for h in ['0','1','2','3','4','5','6','7']] as sig
+          from samp
+        ), pr as (
+          select
+            case when len(list_distinct(a.shingles || b.shingles)) = 0
+                 then 10000
+                 else (len(list_intersect(a.shingles, b.shingles))
+                       * 10000)
+                      // len(list_distinct(a.shingles || b.shingles))
+            end as jac,
+            a.sig as sa, b.sig as sb
+          from sigs a join sigs b on a.doc_id < b.doc_id
+        ), fl as (
+          select (jac >= 2000)::int as dup,
+                 {", ".join(_cand_exprs)}
+          from pr
+        ), agg as (
+          select count(*)::bigint as n_pairs,
+                 sum(dup)::bigint as dups, {_agg_exprs}
+          from fl
+        )
+        {_cfg_selects}
+        order by bands
+    """
+    out["hll_registers"] = """
+        with h as (
+          select md5(cast(doc_id as varchar)) as h from documents
+        ), b as (
+          select ('0x' || substr(h, 1, 3))::int as bucket,
+                 ('0x' || substr(h, 4, 13))::bigint as w
+          from h
+        )
+        select bucket,
+               max(case when w = 0 then 53
+                        else bit_count((w & -w) - 1) + 1
+                   end)::int as rho
+        from b group by bucket order by bucket
     """
     # ---- integer-exact PageRank: unroll 3 rounds (kmeans convention).
     # DuckDB '//' is integer division on BIGINT, matching Spark's
