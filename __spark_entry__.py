@@ -681,6 +681,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("warc_file", "record_offset")
         )
 
+    def q_pack_interleaved(spark, sf):
+        # multimodal trainer packing over the CORE data model: the real
+        # extract pipeline's interleaved spans -> budget-64 chunks
+        # (text splittable, media atomic, order preserved) vs the
+        # frozen pure-Python pack of the frozen extract oracle spans
+        # (scripts/freeze_interleaved_oracle.py — two frozen layers,
+        # zero Spark in the expected path)
+        from lens_spark.corpus import docs_to_spark, gen_docs
+        from lens_spark.operators.pack import pack_interleaved
+        from lens_spark.pipeline import extract
+
+        docs = docs_to_spark(spark, gen_docs(200, seed=42))
+        res = extract(docs)
+        return (
+            pack_interleaved(res.extracted, max_tokens=64)
+            .select(
+                "doc_id", "chunk_id", "n_tokens", "n_media", "text",
+                F.array_join("media_refs", "|").alias("refs_joined"),
+            )
+            .orderBy("doc_id", "chunk_id")
+        )
+
     def q_image_features(spark, sf):
         # Multimodal E-path: PNG decode + feature extract over binary
         # payloads (Arrow mapInPandas), vs the FROZEN Spark-free
@@ -2068,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_counts": q_lineage_counts,
         "extract_full": q_extract_full,
         "warc_records": q_warc_records,
+        "pack_interleaved": q_pack_interleaved,
         "image_features": q_image_features,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
@@ -3010,6 +3033,11 @@ def oracle_sql() -> dict[str, str]:
     # multimodal operators vs frozen Spark-free expected parquet
     # (scripts/freeze_multimodal_oracle.py — the extract_full pattern)
     fixdir = "/root/repo/tests/fixtures"
+    out["pack_interleaved"] = f"""
+        select doc_id, chunk_id, n_tokens, n_media, text, refs_joined
+        from read_parquet('{fixdir}/interleaved_pack_expected.parquet')
+        order by doc_id, chunk_id
+    """
     out["compression_ratio"] = f"""
         select doc_id, raw_len, comp_len, ratio_q
         from read_parquet('{fixdir}/compress_expected.parquet')

@@ -139,3 +139,115 @@ def chunk_documents(
         F.size("_c").alias("n_tokens"),
         F.concat_ws(" ", F.col("_c")).alias("chunk_text"),
     )
+
+
+# ------------------------------------------------- interleaved packing
+MEDIA_PLACEHOLDER = "<|media|>"
+
+INTERLEAVED_SCHEMA = (
+    "doc_id string, chunk_id int, n_tokens int, n_media int, "
+    "text string, media_refs array<string>"
+)
+
+
+def pack_interleaved_rows(
+    doc_id,
+    spans,
+    max_tokens: int,
+    media_cost: int = 1,
+) -> list[tuple]:
+    """Per-doc interleaved packing — a PURE function shared by the
+    distributed batches and the Spark-free oracle freezer
+    (scripts/freeze_interleaved_oracle.py, the image_feature_row
+    convention).
+
+    Walk the doc's spans IN ORDER; text spans cost their whitespace
+    token count and may be SPLIT at token boundaries, media spans cost
+    ``media_cost`` and are ATOMIC (a multimodal trainer cannot attend
+    to half an image); cut a new chunk whenever the budget would
+    overflow. Chunk text re-joins tokens with single spaces
+    (chunk_documents' convention) with ``<|media|>`` placeholders at
+    media positions, refs carried per chunk in order."""
+    chunks: list[tuple] = []
+    toks: list[str] = []
+    refs: list[str] = []
+    acc = 0
+    n_media = 0
+
+    def flush():
+        nonlocal toks, refs, acc, n_media
+        if acc > 0:
+            chunks.append((
+                doc_id, len(chunks), acc, n_media,
+                " ".join(toks), refs,
+            ))
+        toks, refs, acc, n_media = [], [], 0, 0
+
+    # not `spans or []`: Arrow hands the array column over as a numpy
+    # array, whose truthiness raises
+    for span in (spans if spans is not None else []):
+        kind = span["kind"]
+        if kind == "media":
+            if span["media_ref"] is None:
+                continue
+            if acc + media_cost > max_tokens and acc > 0:
+                flush()
+            toks.append(MEDIA_PLACEHOLDER)
+            refs.append(span["media_ref"])
+            acc += media_cost
+            n_media += 1
+            continue
+        text = span["text"]
+        if text is None:
+            continue
+        for w in str(text).split():
+            if acc + 1 > max_tokens and acc > 0:
+                flush()
+            toks.append(w)
+            acc += 1
+    flush()
+    return chunks
+
+
+def pack_interleaved(
+    extracted: DataFrame,
+    max_tokens: int = 512,
+    media_cost: int = 1,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Pack EXTRACTED interleaved documents (the repo's core data
+    model: ordered (kind, text, media_ref) spans) into ≤ ``max_tokens``
+    multimodal trainer chunks — text splittable, media atomic,
+    original span order preserved.
+
+    Returns ``(doc_id, chunk_id, n_tokens, n_media, text,
+    media_refs)``; ``text`` carries ``<|media|>`` placeholders aligned
+    with ``media_refs``.
+
+    100 TB shape: map-only Arrow ``mapInPandas`` — the walk is
+    sequential only WITHIN one document (the order dependency is
+    intrinsic: a chunk boundary depends on every span before it), so
+    parallelism is the scan's; no shuffle, no window. Cross-doc
+    sequence FILLING afterwards is :func:`pack_sequences` on the chunk
+    table (group-parallel next-fit) — the two compose."""
+    if max_tokens < 1 or media_cost < 1 or media_cost > max_tokens:
+        raise ValueError(
+            "need max_tokens >= 1 and 1 <= media_cost <= max_tokens"
+        )
+
+    def batches(it):
+        cols = ["doc_id", "chunk_id", "n_tokens", "n_media",
+                "text", "media_refs"]
+        for b in it:
+            rows: list[tuple] = []
+            for did, spans in zip(b[id_col], b[spans_col]):
+                rows.extend(
+                    pack_interleaved_rows(
+                        did, spans, max_tokens, media_cost)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return extracted.select(id_col, spans_col).mapInPandas(
+        batches, INTERLEAVED_SCHEMA
+    )

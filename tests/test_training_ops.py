@@ -1223,3 +1223,116 @@ def test_boilerplate_ngrams(spark):
     assert [(r["ngram"], r["doc_freq"]) for r in top1] == [
         ("cookie policy applies", 3)
     ]
+
+
+# ---------------------------------------------------- interleaved pack
+class TestPackInterleaved:
+    def _mk(self, spark, spans_rows):
+        from lens_spark.schema import OUT_SPAN
+        from pyspark.sql.types import (
+            ArrayType, StringType, StructField, StructType,
+        )
+
+        schema = StructType([
+            StructField("doc_id", StringType()),
+            StructField("spans", ArrayType(OUT_SPAN)),
+        ])
+        return spark.createDataFrame(spans_rows, schema)
+
+    def test_media_atomic_text_splits(self, spark):
+        from lens_spark.operators.pack import pack_interleaved
+
+        spans = [
+            ("text", " ".join(f"w{i}" for i in range(10)), None, 0),
+            ("media", None, "ref-a", 1),
+            ("text", "x y z", None, 2),
+        ]
+        df = self._mk(spark, [("d1", spans)])
+        out = sorted(
+            pack_interleaved(df, max_tokens=6).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # 10 text tokens -> chunks of 6 and 4; media (+x y z) rides
+        # with the 4-token remainder
+        assert [r.n_tokens for r in out] == [6, 6, 2]
+        assert [r.n_media for r in out] == [0, 1, 0]
+        assert out[1].media_refs == ["ref-a"]
+        assert out[1].text.endswith("<|media|> x")
+        joined = " ".join(r.text for r in out).replace("<|media|> ", "")
+        assert joined == " ".join(f"w{i}" for i in range(10)) + " x y z"
+
+    def test_media_never_split_across_boundary(self, spark):
+        from lens_spark.operators.pack import pack_interleaved
+
+        spans = [
+            ("text", "a b c d e f", None, 0),   # exactly fills 6
+            ("media", None, "ref-m", 1),
+            ("media", None, "ref-n", 2),
+        ]
+        df = self._mk(spark, [("d1", spans)])
+        out = sorted(
+            pack_interleaved(df, max_tokens=6).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        assert [r.n_tokens for r in out] == [6, 2]
+        assert out[1].media_refs == ["ref-m", "ref-n"]
+
+    def test_matches_pure_rows(self, spark):
+        import random
+
+        from lens_spark.operators.pack import (
+            pack_interleaved, pack_interleaved_rows,
+        )
+
+        rng = random.Random(3)
+        rows = []
+        for d in range(12):
+            spans, order = [], 0
+            for _ in range(rng.randrange(1, 6)):
+                if rng.random() < 0.3:
+                    spans.append(
+                        ("media", None, f"r{d}-{order}", order))
+                else:
+                    spans.append((
+                        "text",
+                        " ".join(
+                            f"t{j}"
+                            for j in range(rng.randrange(0, 40))
+                        ) or None,
+                        None, order,
+                    ))
+                order += 1
+            rows.append((f"d{d}", spans))
+        df = self._mk(spark, rows)
+        got = {
+            (r.doc_id, r.chunk_id):
+                (r.n_tokens, r.n_media, r.text, list(r.media_refs))
+            for r in pack_interleaved(df, max_tokens=16).collect()
+        }
+        want = {}
+        for did, spans in rows:
+            dicts = [
+                {"kind": k, "text": t, "media_ref": m}
+                for k, t, m, _ in spans
+            ]
+            for (i, cid, nt, nm, text, refs) in pack_interleaved_rows(
+                    did, dicts, 16):
+                want[(i, cid)] = (nt, nm, text, refs)
+        assert got == want
+
+    def test_budget_validation(self, spark):
+        import pytest as _pytest
+
+        from lens_spark.operators.pack import pack_interleaved
+
+        df = self._mk(spark, [("d", [])])
+        with _pytest.raises(ValueError):
+            pack_interleaved(df, max_tokens=4, media_cost=9)
+
+    def test_plan_is_map_only(self, spark):
+        from lens_spark.operators.pack import pack_interleaved
+
+        df = self._mk(spark, [("d", [("text", "a", None, 0)])])
+        plan = pack_interleaved(
+            df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
