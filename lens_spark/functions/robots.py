@@ -179,24 +179,28 @@ def robots_filter(
 ) -> DataFrame:
     """Keep rows whose URL the rules permit (RFC 9309 precedence:
     longest matching rule wins, allow wins ties; no matching rule or
-    no rules for the host → allowed)."""
+    no rules for the host → allowed).
+
+    Shape: the corpus never shuffles — an INNER join against the rules
+    (AQE broadcasts the small side) restricts work to rule-bearing
+    hosts; the winner groupBy runs on that restricted slice; only the
+    BLOCKED id set (small: most hosts publish no rules, most rules
+    allow) comes back, as an anti-join."""
     from lens_spark.functions.urls import url_parse
 
     p = url_parse(F.col(url_col))
-    probe = urls.withColumn("__host", p["host"]).withColumn(
-        "__path",
-        F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
-    )
-    joined = probe.join(rules, probe["__host"] == rules["host"], "left")
-    matched = joined.withColumn(
-        "__hit",
-        F.col("pattern").isNotNull()
-        & F.regexp_like(F.col("__path"), F.col("pattern")),
-    )
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    affected = urls.select(
+        F.col(id_col), p["host"].alias("__host"), path.alias("__path")
+    ).join(rules, F.col("__host") == rules["host"], "inner")
     # winner per URL: max (priority, allow) over matching rules —
     # allow=true sorts above allow=false at equal priority
-    verdict = (
-        matched.groupBy(id_col)
+    blocked = (
+        affected.withColumn(
+            "__hit",
+            F.regexp_like(F.col("__path"), F.col("pattern")),
+        )
+        .groupBy(id_col)
         .agg(
             F.max(
                 F.when(
@@ -208,7 +212,7 @@ def robots_filter(
                 )
             ).alias("w")
         )
-        .filter(F.col("w").isNull() | F.col("w.a"))
+        .filter(F.col("w").isNotNull() & ~F.col("w.a"))
         .select(id_col)
     )
-    return urls.join(verdict, on=id_col, how="left_semi")
+    return urls.join(blocked, on=id_col, how="left_anti")
