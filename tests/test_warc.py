@@ -211,3 +211,60 @@ def test_warc_to_documents_plan_is_map_only(spark):
         warc_records(df)
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ingest_job_run(spark, tmp_path):
+    """The crawl-ingest job end-to-end in-process: CDX + quarantine
+    parquet, robots honored from captures INSIDE the crawl, documents
+    LensTable upserts on re-ingest."""
+    import importlib.util
+
+    from lens_spark.sources.warc import _http_block, make_warc
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "ingest_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    robots_body = b"User-agent: *\nDisallow: /blocked/\n"
+    specs = []
+
+    def resp(i, uri, body, ctype="text/html"):
+        specs.append({
+            "record_type": "response",
+            "record_id": f"<urn:uuid:ing-{i}>",
+            "warc_date": "2026-02-01T00:00:00Z",
+            "target_uri": uri,
+            "warc_content_type": "application/http;msgtype=response",
+            "block": _http_block(200, ctype, body),
+        })
+
+    resp(0, "https://s.example/robots.txt", robots_body, "text/plain")
+    resp(1, "https://s.example/blocked/a", b"<html>a</html>")
+    resp(2, "https://s.example/ok/b", b"<html>b</html>")
+    resp(3, "https://other.example/c", b"<html>c</html>")
+    data, _offs, _lens = make_warc(specs, per_record_gzip=True)
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "c-000.warc.gz").write_bytes(data)
+
+    out = str(tmp_path / "store")
+    r = job.run(spark, str(crawl), out, agent="anybot")
+    # robots.txt capture itself is a 200 response under /robots.txt —
+    # not under /blocked/ — so only record 1 is robots-blocked
+    assert r["files"] == 1 and r["records"] == 4
+    assert r["robots_blocked"] == 1
+    assert r["docs"] == 3  # robots.txt doc + /ok/b + /c
+    assert r["quarantined"] == 0
+    # re-ingest: upsert, not duplicate; snapshot advances
+    r2 = job.run(spark, str(crawl), out, agent="anybot")
+    assert r2["docs"] == 3 and r2["snapshot"] != r["snapshot"]
+    cdx = spark.read.parquet(f"{out}/cdx")
+    assert cdx.count() == 4
+    assert {x.surt for x in cdx.collect()} == {
+        "example,s)/robots.txt", "example,s)/blocked/a",
+        "example,s)/ok/b", "example,other)/c",
+    }
