@@ -1195,6 +1195,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("bucket")
         )
 
+    def q_cms_counts(spark, sf):
+        # engine-portable Count-Min register table over the corpus'
+        # 3-word shingles (per-doc distinct, the boilerplate_ngrams
+        # statistic): depth 4 salted-md5 rows × 4096 buckets, exact
+        # integer cells — map-only expansion + ONE map-side-combined
+        # shuffle bounded at depth·4096 cells regardless of corpus size
+        from lens_spark.operators.dedup import word_shingles
+        from lens_spark.operators.sketch import cms_registers
+
+        grams = (
+            _docs(spark, sf)
+            .select(
+                F.explode(word_shingles(F.col("text"), 3)).alias("gram")
+            )
+            .filter(F.length("gram") > 0)
+        )
+        return (
+            cms_registers(grams, "gram")
+            .select(
+                F.col("d").cast("int").alias("d"),
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+            .orderBy("d", "bucket")
+        )
+
     def q_pagerank(spark, sf):
         # integer-exact PageRank (operators/graph.py) over a
         # deterministic synthetic link graph on the 97-node id ring —
@@ -1389,6 +1415,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "source", "text")
             .orderBy("doc_id")
         )
+
+    def q_wet_roundtrip(spark, sf):
+        # WET sink E2E (sources/warc.py export_wet): write documents as
+        # CommonCrawl-style conversion records (per-record gzip members,
+        # md5 shard rule seed 42, deterministic urn:uuid record ids),
+        # read the shards back through THIS repo's own WARC parser, and
+        # return the parsed records — the oracle recomputes record ids /
+        # lengths / text straight from the documents table, so the row
+        # pins writer AND reader against ground truth neither produced.
+        import tempfile
+
+        from lens_spark.sources.warc import export_wet, read_warc
+
+        out = tempfile.mkdtemp(prefix="lens_wet_rt_")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.concat(
+                F.lit("urn:lens:doc:"), F.col("doc_id").cast("string")
+            ).alias("uri"),
+        )
+        export_wet(
+            docs, out, "doc_id", "text", uri_col="uri",
+            n_shards=4, seed="42",
+        )
+        rec = read_warc(spark, os.path.join(out, "data"))
+        return rec.select(
+            F.col("record_id"),
+            F.col("target_uri"),
+            F.col("record_type"),
+            F.col("content_length").cast("long").alias("content_length"),
+            F.col("payload").cast("string").alias("text"),
+        ).orderBy("record_id")
 
     def q_wds_manifest(spark, sf):
         # WebDataset tar sink E2E: md5-shard documents (corpus_shuffle
@@ -2042,9 +2101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "degree_stats": q_degree_stats,
         "hll_registers": q_hll_registers,
+        "cms_counts": q_cms_counts,
         "lsh_tuning": q_lsh_tuning,
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -3936,6 +3997,25 @@ def oracle_sql() -> dict[str, str]:
         select doc_id, lang, source, text
         from documents order by doc_id
     """
+    # WET sink round-trip: the Spark side writes real per-record-gzip
+    # WET shards and re-parses them; the oracle recomputes the record
+    # ids (urn:uuid from md5('wet:42:'||id), wet_record_id) and byte
+    # lengths straight from the documents table
+    out["wet_roundtrip"] = r"""
+        with h as (
+          select doc_id, coalesce(text, '') as text,
+                 md5('wet:42:' || cast(doc_id as varchar)) as h
+          from documents
+        )
+        select '<urn:uuid:' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+               || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4)
+               || '-' || substr(h, 21, 12) || '>' as record_id,
+               'urn:lens:doc:' || cast(doc_id as varchar) as target_uri,
+               'conversion' as record_type,
+               strlen(text)::bigint as content_length,
+               text
+        from h order by record_id
+    """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
     out["wds_manifest"] = r"""
@@ -4128,6 +4208,30 @@ def oracle_sql() -> dict[str, str]:
                         else bit_count((w & -w) - 1) + 1
                    end)::int as rho
         from b group by bucket order by bucket
+    """
+    # Count-Min registers over per-doc-distinct 3-word shingles: the
+    # boilerplate_ngrams sh-CTE feeds the salted-md5 bucket rule the
+    # corpus_shuffle rows already pin (d || ':' || key, first 3 hex)
+    out["cms_counts"] = f"""
+        with toks as (
+          select doc_id, {ws_toks} as tk from documents
+        ), sh as (
+          select doc_id,
+            case when len(tk) >= 3 then
+              list_distinct([array_to_string(tk[i:i+2], ' ')
+                             for i in range(1, greatest(len(tk)-2, 1)+1)])
+            else [array_to_string(tk, ' ')] end as shingles
+          from toks
+        ), g as (select unnest(shingles) as gram from sh),
+        e as (
+          select d,
+                 ('0x' || substr(md5(cast(d as varchar) || ':' || gram),
+                                 1, 3))::int as bucket
+          from g cross join (select unnest([0, 1, 2, 3]) as d)
+          where len(gram) > 0
+        )
+        select d::int as d, bucket, count(*)::bigint as cnt
+        from e group by d, bucket order by d, bucket
     """
     # ---- integer-exact PageRank: unroll 3 rounds (kmeans convention).
     # DuckDB '//' is integer division on BIGINT, matching Spark's

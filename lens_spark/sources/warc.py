@@ -33,6 +33,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import os
 import zlib
 from typing import Any, Iterator
 
@@ -673,3 +674,130 @@ def expected_warc_rows_df(rows: list[dict[str, Any]]) -> pd.DataFrame:
               "http_status", "payload_len"):
         df[c] = df[c].astype("int64")
     return df
+
+
+# ------------------------------------------------------------- WET export
+def wet_record_id(doc_id, seed: str = "wet") -> str:
+    """Deterministic WET record id: md5(seed || ':' || id) formatted as
+    ``urn:uuid:…`` — engine-portable (the DuckDB oracle reproduces it
+    from the same md5), so a re-export is byte-identical and a record
+    is traceable back to its document id without a custom header."""
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def export_wet(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str,
+    uri_col: str | None = None,
+    n_shards: int = 4,
+    seed: str = "0",
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> dict:
+    """Write extracted text as WET shards (CommonCrawl's conversion
+    format: ``WARC-Type: conversion`` records, text/plain payload, one
+    gzip member per record) and return the manifest dict (also written
+    to ``out_dir/MANIFEST.json``).  Closes the crawl-format loop: what
+    :func:`read_warc` ingests, the extract tier can hand back in the
+    same container family, and THIS module's own reader round-trips it
+    (record offsets/lengths come back CDX-compatible, so
+    :func:`fetch_warc_records` can range-read single WET records).
+
+    Determinism: shard membership / order via ``corpus_shuffle`` (md5,
+    ``seed``), record ids via :func:`wet_record_id`, gzip members
+    mtime-0 (``make_warc``), ``warc_date`` a pinned literal — the
+    caller stamps real dates; a re-export is byte-identical.
+
+    Scale shape (the export_webdataset pattern): one repartition on
+    shard + sortWithinPartitions + one mapInPandas that APPENDS each
+    record's gzip member to its shard file — a shard never
+    materializes in memory, and the manifest rows come back through
+    the plan (≤ n_shards rows), never a re-scan."""
+    from lens_spark.operators.mixing import corpus_shuffle
+
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+
+    cols = [id_col, text_col] + ([uri_col] if uri_col else [])
+    addressed = (
+        corpus_shuffle(df, id_col, n_shards, seed)
+        .select(*cols, "shard", "pos")
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    manifest_schema = (
+        "shard int, file string, n_docs long, bytes long, md5 string"
+    )
+    rid_seed = f"wet:{seed}"
+
+    def write_shards(batches: Iterator[pd.DataFrame]):
+        open_files: dict[int, dict] = {}
+
+        def close_shard(s: int):
+            st = open_files.pop(s)
+            st["f"].close()
+            h = hashlib.md5()
+            with open(st["path"], "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            return (s, os.path.basename(st["path"]), st["n"],
+                    os.path.getsize(st["path"]), h.hexdigest())
+
+        done = []
+        for b in batches:
+            for d in b.to_dict("records"):
+                s = int(d["shard"])
+                if s not in open_files:
+                    path = os.path.join(
+                        data_dir, f"shard-{s:05d}.warc.wet.gz")
+                    open_files[s] = {
+                        "f": open(path, "wb"), "path": path, "n": 0,
+                    }
+                text = d[text_col]
+                block = ("" if text is None else str(text)).encode()
+                uri = (
+                    str(d[uri_col]) if uri_col and d[uri_col] is not None
+                    else f"urn:lens:doc:{d[id_col]}"
+                )
+                member, _, _ = make_warc([{
+                    "record_type": "conversion",
+                    "record_id": wet_record_id(d[id_col], rid_seed),
+                    "warc_date": warc_date,
+                    "target_uri": uri,
+                    "warc_content_type": "text/plain",
+                    "block": block,
+                }], per_record_gzip=True)
+                open_files[s]["f"].write(member)
+                open_files[s]["n"] += 1
+        for s in sorted(open_files):
+            done.append(close_shard(s))
+        if done:
+            yield pd.DataFrame(
+                done, columns=["shard", "file", "n_docs", "bytes", "md5"])
+
+    shard_rows = sorted(
+        (r.asDict() for r in
+         addressed.mapInPandas(write_shards, manifest_schema).collect()),
+        key=lambda r: r["shard"],
+    )
+    import json as _json
+    import time as _time
+
+    manifest = {
+        "format": "wet",
+        "columns": cols,
+        "rows": int(sum(r["n_docs"] for r in shard_rows)),
+        "n_shards_requested": n_shards,
+        "n_shards": len(shard_rows),
+        "seed": seed,
+        "warc_date": warc_date,
+        "shards": shard_rows,
+        "created_unix": int(_time.time()),
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

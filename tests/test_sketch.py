@@ -1,11 +1,16 @@
-"""Engine-portable HyperLogLog (operators/sketch.py)."""
+"""Engine-portable HyperLogLog + Count-Min (operators/sketch.py)."""
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 
 from lens_spark.operators.sketch import (
+    CMS_DEPTH,
     M,
     RHO_CAP,
+    cms_lookup,
+    cms_merge,
+    cms_registers,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -80,3 +85,77 @@ def test_plan_is_one_partial_agg_shuffle(spark):
         df, "key")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan  # map-side combine before the shuffle
+
+
+# --------------------------------------------------------- Count-Min ----
+
+def cms_ref(keys, depth=CMS_DEPTH):
+    """Single-threaded reference: dict of (d, bucket) -> count."""
+    cells = Counter()
+    for k in keys:
+        for d in range(depth):
+            h = hashlib.md5(f"{d}:{k}".encode()).hexdigest()
+            cells[(d, int(h[:3], 16))] += 1
+    return dict(cells)
+
+
+def test_cms_registers_match_python_reference(spark):
+    keys = [f"g{i % 137}" for i in range(4000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {(r.d, r.bucket): r.cnt
+           for r in cms_registers(df, "key").collect()}
+    assert got == cms_ref(keys)
+
+
+def test_cms_lookup_never_underestimates(spark):
+    keys = [f"w{i % 211}" for i in range(5000)]
+    exact = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    regs = cms_registers(df, "key")
+    qdf = spark.createDataFrame(
+        [(k,) for k in sorted(exact)], "key string")
+    est = {r.key: r.est for r in cms_lookup(regs, qdf, "key").collect()}
+    assert set(est) == set(exact)
+    n = len(keys)
+    for k, true in exact.items():
+        assert est[k] >= true  # CMS one-sided guarantee
+        # ε = e/4096 per row; min over 4 rows — generous determinism-
+        # friendly slack on a 5000-insert sketch
+        assert est[k] <= true + (3 * n) // 4096 + 1
+
+
+def test_cms_merge_is_exact_linearity(spark):
+    a = spark.createDataFrame(
+        [(f"k{i % 50}",) for i in range(700)], "key string")
+    b = spark.createDataFrame(
+        [(f"k{i % 80}",) for i in range(500)], "key string")
+    merged = {(r.d, r.bucket): r.cnt for r in cms_merge(
+        cms_registers(a, "key"), cms_registers(b, "key")).collect()}
+    direct = {(r.d, r.bucket): r.cnt
+              for r in cms_registers(a.unionByName(b), "key").collect()}
+    assert merged == direct
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("x", 3), ("x", 4), ("y", 5)], "key string, w int")
+    regs = cms_registers(df, "key", weight_col="w")
+    qdf = spark.createDataFrame([("x",), ("y",), ("z",)], "key string")
+    est = {r.key: r.est for r in cms_lookup(regs, qdf, "key").collect()}
+    assert est["x"] >= 7 and est["y"] >= 5
+    # unseen key: 0 unless all 4 of its cells collide with real keys
+    assert est["z"] <= 12
+
+
+def test_cms_plans(spark):
+    df = spark.createDataFrame([("k",)], "key string")
+    plan = cms_registers(
+        df, "key")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    regs = cms_registers(df, "key")
+    lp = cms_lookup(regs, df, "key")
+    lp.collect()  # AQE finalizes the join strategy at execution
+    final = lp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
