@@ -1449,6 +1449,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("payload").cast("string").alias("text"),
         ).orderBy("record_id")
 
+    def q_cdx_diff(spark, sf):
+        # crawl-to-crawl incremental diff (sources/warc.py cdx_diff):
+        # two synthetic CDX snapshots derived from the documents table
+        # (the pagerank synthetic-edges convention) — old crawl misses
+        # doc_id%10==0, carries a STALE extra capture for %3==0 (the
+        # multi-capture latest-wins path); new crawl misses %7==0 and
+        # rewrites %5==0 payloads. Statuses: added/changed/unchanged/
+        # removed, latest digest per side, '' sentinels.
+        from lens_spark.sources.warc import cdx_diff
+
+        d = _docs(spark, sf).select(
+            "doc_id", F.coalesce("text", F.lit("")).alias("t")
+        )
+        surt = F.concat(
+            F.lit("com,example)/d/"), F.col("doc_id").cast("string")
+        ).alias("surt")
+        uri = F.concat(
+            F.lit("https://example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri")
+        old_base = d.filter(F.col("doc_id") % 10 != 0).select(
+            surt,
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+            F.md5("t").alias("payload_digest"),
+            uri,
+        )
+        old_stale = (
+            d.filter((F.col("doc_id") % 10 != 0)
+                     & (F.col("doc_id") % 3 == 0))
+            .select(
+                surt,
+                F.lit("2025-12-01T00:00:00Z").alias("warc_date"),
+                F.md5(F.concat(F.lit("stale:"), F.col("t"))).alias(
+                    "payload_digest"),
+                uri,
+            )
+        )
+        new = d.filter(F.col("doc_id") % 7 != 0).select(
+            surt,
+            F.lit("2026-02-01T00:00:00Z").alias("warc_date"),
+            F.md5(
+                F.concat(
+                    F.col("t"),
+                    F.when(F.col("doc_id") % 5 == 0, F.lit("v2"))
+                    .otherwise(F.lit("")),
+                )
+            ).alias("payload_digest"),
+            uri,
+        )
+        return cdx_diff(
+            old_base.unionByName(old_stale), new
+        ).orderBy("surt")
+
     def q_wds_manifest(spark, sf):
         # WebDataset tar sink E2E: md5-shard documents (corpus_shuffle
         # rule, seed 42), write REAL tar shards, return the manifest's
@@ -2106,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "export_roundtrip": q_export_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
+        "cdx_diff": q_cdx_diff,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4015,6 +4069,48 @@ def oracle_sql() -> dict[str, str]:
                strlen(text)::bigint as content_length,
                text
         from h order by record_id
+    """
+    # CDX snapshot diff: latest capture per side (row_number mirrors
+    # Spark's max(struct(date, digest, uri))), full outer join, status
+    out["cdx_diff"] = r"""
+        with d as (
+          select doc_id, coalesce(text, '') as t,
+                 'com,example)/d/' || cast(doc_id as varchar) as surt,
+                 'https://example.com/d/' || cast(doc_id as varchar)
+                   as target_uri
+          from documents
+        ), old_all as (
+          select surt, '2026-01-01T00:00:00Z' as d8, md5(t) as g,
+                 target_uri as u
+          from d where doc_id % 10 <> 0
+          union all
+          select surt, '2025-12-01T00:00:00Z', md5('stale:' || t),
+                 target_uri
+          from d where doc_id % 10 <> 0 and doc_id % 3 = 0
+        ), old_latest as (
+          select surt, g as old_digest, u as old_uri from (
+            select *, row_number() over (
+              partition by surt order by d8 desc, g desc, u desc
+            ) as rn from old_all
+          ) where rn = 1
+        ), new_latest as (
+          select surt,
+                 md5(t || case when doc_id % 5 = 0 then 'v2' else ''
+                     end) as new_digest,
+                 target_uri as new_uri
+          from d where doc_id % 7 <> 0
+        )
+        select coalesce(o.surt, n.surt) as surt,
+               case when o.surt is null then 'added'
+                    when n.surt is null then 'removed'
+                    when o.old_digest = n.new_digest then 'unchanged'
+                    else 'changed' end as status,
+               coalesce(o.old_digest, '') as old_digest,
+               coalesce(n.new_digest, '') as new_digest,
+               coalesce(n.new_uri, o.old_uri) as target_uri
+        from old_latest o full outer join new_latest n
+          on (o.surt = n.surt)
+        order by surt
     """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)

@@ -801,3 +801,70 @@ def export_wet(
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         _json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def cdx_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "surt",
+    digest_col: str = "payload_digest",
+    date_col: str = "warc_date",
+    uri_col: str = "target_uri",
+) -> DataFrame:
+    """Crawl-to-crawl incremental diff over two CDX capture tables:
+    one row per ``key_col`` with ``status`` ∈ added / changed /
+    unchanged / removed, plus the latest digest on each side (``''``
+    when the side lacks the key — the sentinel convention).  This is
+    the CommonCrawl-style "what actually changed since the last crawl"
+    question, the input to incremental re-extraction (feed the
+    added+changed keys to fetch_warc_records → extract, skip the
+    unchanged mass — at 100 TB the unchanged mass is most of the
+    crawl, and THIS table is what makes skipping it safe).
+
+    Each side may carry multiple captures per key (a URL is often
+    captured more than once per crawl); the diff compares the LATEST
+    capture per side — max(struct(date, digest)), deterministic on
+    date ties.
+
+    100 TB shape: one map-side-combined groupBy per side, then a join
+    ON THE SAME KEY — the aggregate's output partitioning is reused,
+    so the join adds no third exchange (plan-asserted in
+    tests/test_warc.py).  Both sides bucketed by ``key_col`` at write
+    time make the whole diff shuffle-free."""
+    def latest(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(key_col).alias(key_col))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(date_col).alias("d"),
+                        F.col(digest_col).alias("g"),
+                        F.col(uri_col).alias("u"),
+                    )
+                ).alias("x")
+            )
+            .select(
+                key_col,
+                F.col("x.g").alias(f"{side}_digest"),
+                F.col("x.u").alias(f"{side}_uri"),
+                F.lit(1).alias(f"{side}_present"),
+            )
+        )
+
+    j = latest(old, "old").join(latest(new, "new"), [key_col], "full")
+    status = (
+        F.when(F.col("old_present").isNull(), F.lit("added"))
+        .when(F.col("new_present").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest") == F.col("new_digest"),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        key_col,
+        status.alias("status"),
+        F.coalesce("old_digest", F.lit("")).alias("old_digest"),
+        F.coalesce("new_digest", F.lit("")).alias("new_digest"),
+        F.coalesce("new_uri", "old_uri").alias(uri_col),
+    )

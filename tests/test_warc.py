@@ -331,3 +331,45 @@ def test_export_wet_records_are_cdx_range_readable(spark, tmp_path):
     fetched = fetch_warc_records(idx).select("record_id").collect()
     assert {r.record_id for r in fetched} == {
         r.record_id for r in recs.collect()}
+
+
+def test_cdx_diff_statuses_and_latest_capture(spark):
+    from lens_spark.sources.warc import cdx_diff
+
+    cols = "surt string, warc_date string, payload_digest string, " \
+           "target_uri string"
+    old = spark.createDataFrame([
+        ("a", "2026-01-01", "g1", "ua"),      # unchanged
+        ("b", "2026-01-01", "g2", "ub"),      # changed
+        ("c", "2026-01-01", "g3", "uc"),      # removed
+        ("d", "2025-12-01", "stale", "ud"),   # multi-capture: stale…
+        ("d", "2026-01-01", "g4", "ud"),      # …latest wins → unchanged
+    ], cols)
+    new = spark.createDataFrame([
+        ("a", "2026-02-01", "g1", "ua"),
+        ("b", "2026-02-01", "g2x", "ub"),
+        ("d", "2026-02-01", "g4", "ud"),
+        ("e", "2026-02-01", "g5", "ue"),      # added
+    ], cols)
+    got = {r.surt: r for r in cdx_diff(old, new).collect()}
+    assert {k: v.status for k, v in got.items()} == {
+        "a": "unchanged", "b": "changed", "c": "removed",
+        "d": "unchanged", "e": "added"}
+    assert got["c"].new_digest == "" and got["e"].old_digest == ""
+    assert got["d"].old_digest == "g4"  # latest capture, not the stale
+    assert got["e"].target_uri == "ue" and got["c"].target_uri == "uc"
+
+
+def test_cdx_diff_plan_reuses_key_partitioning(spark):
+    """Two groupBys on the key + a full-outer join on the same key:
+    exactly 2 shuffles — the join reuses the aggregates' partitioning
+    (full outer can never broadcast, so this is the scale shape)."""
+    from lens_spark.sources.warc import cdx_diff
+
+    cols = "surt string, warc_date string, payload_digest string, " \
+           "target_uri string"
+    df = spark.createDataFrame([("a", "d", "g", "u")], cols)
+    plan = cdx_diff(df, df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
