@@ -2,7 +2,8 @@
 extract_job: WARC archives → the authoritative documents table).
 
     spark-submit --py-files lens_spark.zip jobs/ingest_job.py \
-        <warc_dir_or_gen:N> <out_dir> [--agent NAME] [--no-robots]
+        <warc_dir_or_gen:N> <out_dir> [--agent NAME] [--no-robots] \
+        [--since PRIOR_CDX_DIR]
 
 Pipeline (all one logical plan per output):
 
@@ -21,11 +22,20 @@ Pipeline (all one logical plan per output):
   doc_id — re-ingesting an archive upserts instead of duplicating
 - invalid records land in ``<out_dir>/quarantine`` parquet
 
+- ``--since <prior_cdx_dir>`` makes the ingest INCREMENTAL: the new
+  crawl's captures are diffed against the prior run's CDX
+  (sources/warc.py ``cdx_diff``) and only ``added``/``changed`` URLs
+  proceed to the documents MERGE — at crawl scale the unchanged mass
+  is most of the crawl, and skipping it is what keeps re-ingestion
+  O(delta), not O(corpus). The skip is metered
+  (``unchanged_skipped=``), never silent.
+
 ``gen:N`` synthesizes the deterministic fixture crawl (N files, seed
 13) into a temp dir first — the smoke-test path.
 
 Prints one line:
-``INGEST_OK files=F records=R docs=D robots_blocked=B quarantined=Q``
+``INGEST_OK files=F records=R docs=D robots_blocked=B quarantined=Q
+unchanged_skipped=U snapshot=S``
 """
 from __future__ import annotations
 
@@ -43,11 +53,12 @@ def run(
     out: str,
     agent: str = "*",
     use_robots: bool = True,
+    since: str | None = None,
 ) -> dict:
     from lens_spark.functions.robots import robots_filter, robots_rules
     from lens_spark.sources.tables import LensTable
     from lens_spark.sources.warc import (
-        cdx_index, read_warc, warc_to_documents,
+        cdx_diff, cdx_index, read_warc, surt_key, warc_to_documents,
     )
 
     records = read_warc(spark, src)
@@ -84,15 +95,38 @@ def run(
         ok = robots_filter(ok, rules, "target_uri", "record_id")
         robots_blocked = before - ok.count()
 
+    unchanged_skipped = 0
+    if since:
+        # incremental re-crawl: diff the surviving captures against the
+        # prior crawl's CDX; only added/changed URLs re-enter the MERGE.
+        # The delta key table is data-dependent (tiny on a calm recrawl,
+        # huge on a site rewrite) — AQE decides the join strategy, the
+        # decontam hit-table rule (no forced broadcast).
+        old_cdx = spark.read.parquet(since)
+        delta_keys = cdx_diff(old_cdx, cdx_index(ok)).filter(
+            F.col("status").isin("added", "changed")
+        ).select("surt")
+        keyed = ok.withColumn("__surt", surt_key("target_uri"))
+        before = keyed.count()
+        ok = keyed.join(
+            delta_keys, keyed["__surt"] == delta_keys["surt"],
+            "left_semi",
+        ).drop("__surt")
+        unchanged_skipped = before - ok.count()
+
     docs = warc_to_documents(ok)
     table = LensTable(f"{out}/documents")
     snap = table.merge_upsert(docs, "doc_id")
+    # an all-unchanged --since recrawl into a fresh store merges an
+    # empty delta: the table may not exist yet
+    stored = table.read(spark)
     return {
         "files": n_files,
         "records": n_records,
-        "docs": table.read(spark).count(),
+        "docs": 0 if stored is None else stored.count(),
         "robots_blocked": robots_blocked,
         "quarantined": n_quar,
+        "unchanged_skipped": unchanged_skipped,
         "snapshot": snap,
     }
 
@@ -104,6 +138,10 @@ def main() -> None:
     if "--agent" in sys.argv:
         agent = sys.argv[sys.argv.index("--agent") + 1]
         args = [a for a in args if a != agent]
+    since = None
+    if "--since" in sys.argv:
+        since = sys.argv[sys.argv.index("--since") + 1]
+        args = [a for a in args if a != since]
     src, out = args[0], args[1]
     spark = SparkSession.builder.appName("lens-ingest").getOrCreate()
 
@@ -117,10 +155,12 @@ def main() -> None:
                 f.write(data)
         src = tmp
 
-    r = run(spark, src, out, agent=agent, use_robots=use_robots)
+    r = run(spark, src, out, agent=agent, use_robots=use_robots,
+            since=since)
     print(
         "INGEST_OK files={files} records={records} docs={docs} "
         "robots_blocked={robots_blocked} quarantined={quarantined} "
+        "unchanged_skipped={unchanged_skipped} "
         "snapshot={snapshot}".format(**r)
     )
     spark.stop()

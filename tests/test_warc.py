@@ -373,3 +373,68 @@ def test_cdx_diff_plan_reuses_key_partitioning(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_ingest_job_incremental_since(spark, tmp_path):
+    """--since <prior cdx>: a re-crawl where most pages are unchanged
+    only MERGEs the added/changed delta; the skip is metered."""
+    import importlib.util
+    import shutil
+
+    from lens_spark.sources.warc import _http_block, make_warc
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_job2",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "ingest_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    def crawl_bytes(pages):
+        specs = []
+        for i, (uri, body) in enumerate(pages):
+            specs.append({
+                "record_type": "response",
+                "record_id": f"<urn:uuid:inc-{uri.rsplit('/', 1)[1]}>",
+                "warc_date": f"2026-0{i % 2 + 1}-01T00:00:00Z",
+                "target_uri": uri,
+                "warc_content_type":
+                    "application/http;msgtype=response",
+                "block": _http_block(200, "text/html", body),
+            })
+        data, _o, _l = make_warc(specs, per_record_gzip=True)
+        return data
+
+    out = str(tmp_path / "store")
+    c1 = tmp_path / "crawl1"
+    c1.mkdir()
+    (c1 / "c.warc.gz").write_bytes(crawl_bytes([
+        ("https://s.example/a", b"<html>a</html>"),
+        ("https://s.example/b", b"<html>b</html>"),
+        ("https://s.example/c", b"<html>c</html>"),
+    ]))
+    r1 = job.run(spark, str(c1), out, use_robots=False)
+    assert r1["docs"] == 3 and r1["unchanged_skipped"] == 0
+
+    prev_cdx = str(tmp_path / "cdx_prev")
+    shutil.copytree(f"{out}/cdx", prev_cdx)
+
+    c2 = tmp_path / "crawl2"
+    c2.mkdir()
+    (c2 / "c.warc.gz").write_bytes(crawl_bytes([
+        ("https://s.example/a", b"<html>a</html>"),       # unchanged
+        ("https://s.example/b", b"<html>b CHANGED</html>"),
+        ("https://s.example/c", b"<html>c</html>"),       # unchanged
+        ("https://s.example/d", b"<html>d new</html>"),   # added
+    ]))
+    r2 = job.run(spark, str(c2), out, use_robots=False, since=prev_cdx)
+    assert r2["unchanged_skipped"] == 2          # a and c
+    assert r2["docs"] == 4                       # b upserted, d added
+    assert r2["snapshot"] != r1["snapshot"]
+    # the changed page's new body actually landed
+    from lens_spark.sources.tables import LensTable
+
+    t = LensTable(f"{out}/documents").read(spark)
+    b = t.filter("doc_id = '<urn:uuid:inc-b>'").collect()[0]
+    assert "CHANGED" in b.spans[0].text
