@@ -1921,6 +1921,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessionized_events(_events(spark, sf), gap="30 minutes")\
             .orderBy("user_id", "session_start")
 
+    def q_asof_join(spark, sf):
+        # point-in-time join (operators/temporal.py): every click/error
+        # event picks up the latest PRECEDING view event's value for
+        # the same user — union-window formulation, ONE shuffle, no
+        # join node (plan-asserted in tests/test_temporal.py). DuckDB's
+        # native ASOF LEFT JOIN is the oracle; inclusive-tie semantics
+        # match by construction. (user_id, ts) is unique among views at
+        # every sf (verified), so tie-breaks can't diverge.
+        from lens_spark.operators.temporal import asof_join
+
+        ev = _events(spark, sf)
+        left = ev.filter(
+            F.col("event_type").isin("click", "error")
+        ).select("event_id", "ts", "user_id")
+        right = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value"
+        )
+        out = asof_join(
+            left, right, on="ts", by=["user_id"], right_cols=["value"]
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(
+                F.unix_micros(F.col("ts_r").cast("timestamp_ltz")),
+                F.lit(-1),
+            ).cast("long").alias("view_ts_us"),
+            F.coalesce(
+                F.floor(F.col("value_r") * 100), F.lit(-1)
+            ).cast("long").alias("view_value_c"),
+        ).orderBy("event_id")
+
+    def q_range_join(spark, sf):
+        # bucketed interval join (operators/temporal.py range_join):
+        # click/error events × the 2-hour windows opened by each
+        # view event for the same user — intervals explode into coarse
+        # 1-hour buckets, the join is a plain equi-join on
+        # (user_id, bucket) with exact containment as residual filter
+        # (plan-asserted: never BroadcastNestedLoopJoin). Oracle = the
+        # raw inequality join (DuckDB can afford it at sf0.01).
+        from lens_spark.operators.temporal import range_join
+
+        ev = _events(spark, sf)
+        points = ev.filter(
+            F.col("event_type").isin("click", "error")
+        ).select("event_id", "ts", "user_id")
+        ivs = ev.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("iv_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+        )
+        out = range_join(
+            points, ivs, on="ts", by=["user_id"],
+            start_col="start", end_col="end", bucket=3600.0,
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.col("iv_id_r").alias("iv_id"), "ts",
+        ).orderBy("event_id", "iv_id")
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2160,6 +2222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_roundtrip": q_export_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         "cdx_diff": q_cdx_diff,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4111,6 +4175,41 @@ def oracle_sql() -> dict[str, str]:
         from old_latest o full outer join new_latest n
           on (o.surt = n.surt)
         order by surt
+    """
+    # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle for the
+    # union-window formulation (identical inclusive-tie semantics);
+    # floor(value*100) uses the same IEEE expression shape both sides
+    out["asof_join"] = """
+        with l as (
+          select event_id, ts, user_id from events
+          where event_type in ('click', 'error')
+        ), r as (
+          select user_id, ts, value from events
+          where event_type = 'view'
+        )
+        select l.event_id, l.user_id, l.ts,
+               coalesce(epoch_us(r.ts), -1)::bigint as view_ts_us,
+               coalesce(floor(r.value * 100), -1)::bigint
+                 as view_value_c
+        from l asof left join r
+          on l.user_id = r.user_id and l.ts >= r.ts
+        order by l.event_id
+    """
+    # bucketed interval join: the oracle is the RAW inequality join —
+    # any formulation, same rows
+    out["range_join"] = """
+        with p as (
+          select event_id, ts, user_id from events
+          where event_type in ('click', 'error')
+        ), iv as (
+          select user_id, event_id as iv_id, ts as s,
+                 ts + interval 2 hour as e
+          from events where event_type = 'view'
+        )
+        select p.event_id, p.user_id, iv.iv_id, p.ts
+        from p join iv
+          on p.user_id = iv.user_id and p.ts >= iv.s and p.ts <= iv.e
+        order by p.event_id, iv.iv_id
     """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
