@@ -1983,6 +1983,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("iv_id_r").alias("iv_id"), "ts",
         ).orderBy("event_id", "iv_id")
 
+    def q_zorder_key(spark, sf):
+        # Morton clustering key (operators/zorder.py): interleave the
+        # bits of (user_id mod 256, hour-of-ts mod 256) — the layout
+        # key behind multi-dim min-max pruning. Pure shift/AND/OR, the
+        # oracle recomputes every interleaved bit arithmetically.
+        from lens_spark.operators.zorder import zorder_key
+
+        ev = _events(spark, sf)
+        d0 = (F.col("user_id") % 256).cast("long")
+        d1 = (
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                / F.lit(3_600_000_000)
+            )
+            % 256
+        ).cast("long")
+        q = ev.select("event_id", d0.alias("d0"), d1.alias("d1"))
+        return q.select(
+            "event_id",
+            "d0",
+            "d1",
+            zorder_key(["d0", "d1"], bits=8).alias("zkey"),
+        ).orderBy("event_id")
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2224,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_diff": q_cdx_diff,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "zorder_key": q_zorder_key,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4210,6 +4235,22 @@ def oracle_sql() -> dict[str, str]:
         from p join iv
           on p.user_id = iv.user_id and p.ts >= iv.s and p.ts <= iv.e
         order by p.event_id, iv.iv_id
+    """
+    # Morton key: every interleaved bit recomputed arithmetically
+    _z_terms = " + ".join(
+        f"(((d{d} >> {i}) & 1) << {i * 2 + d})"
+        for i in range(8)
+        for d in (0, 1)
+    )
+    out["zorder_key"] = f"""
+        with q as (
+          select event_id,
+                 (user_id % 256)::bigint as d0,
+                 ((epoch_us(ts) // 3600000000) % 256)::bigint as d1
+          from events
+        )
+        select event_id, d0, d1, ({_z_terms})::bigint as zkey
+        from q order by event_id
     """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
