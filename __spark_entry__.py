@@ -2007,6 +2007,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             zorder_key(["d0", "d1"], bits=8).alias("zkey"),
         ).orderBy("event_id")
 
+    def q_events_rollup(spark, sf):
+        # continuous-aggregate rollup (operators/rollup.py): hourly ×
+        # user cells maintained INCREMENTALLY — two ingest increments
+        # (event_id parity) folded into a scratch LensTable via
+        # bucket-pruned read_for_keys + re-combine + MERGE; the oracle
+        # is the ONE-SHOT GROUP BY over all events, so the row proves
+        # incremental == batch. Measures on integer cents
+        # (floor(value*100+0.5), identical IEEE shape both engines).
+        import tempfile
+
+        from lens_spark.operators.rollup import (
+            rollup_increment, rollup_maintain,
+        )
+        from lens_spark.sources.tables import LensTable
+
+        ev = _events(spark, sf).select(
+            "event_id", "ts", "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long").alias("vc"),
+        )
+        t = LensTable(tempfile.mkdtemp(prefix="lens_rollup_"))
+        for part in (0, 1):
+            inc = ev.filter(F.col("event_id") % 2 == part)
+            rollup_maintain(
+                t,
+                rollup_increment(inc, "ts", 3600, ["user_id"], "vc"),
+                ["user_id"],
+            )
+        return (
+            t.read(spark)
+            .select(
+                "window_start", "user_id", "n",
+                "sum_m", "min_m", "max_m",
+            )
+            .orderBy("window_start", "user_id")
+        )
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2249,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "zorder_key": q_zorder_key,
+        "events_rollup": q_events_rollup,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4251,6 +4289,22 @@ def oracle_sql() -> dict[str, str]:
         )
         select event_id, d0, d1, ({_z_terms})::bigint as zkey
         from q order by event_id
+    """
+    # continuous rollup: incremental maintenance must equal the
+    # one-shot GROUP BY
+    out["events_rollup"] = """
+        with e as (
+          select user_id,
+                 floor(value * 100 + 0.5)::bigint as vc,
+                 ((epoch_us(ts) // 3600000000) * 3600)::bigint
+                   as window_start
+          from events
+        )
+        select window_start, user_id,
+               count(*)::bigint as n, sum(vc)::bigint as sum_m,
+               min(vc)::bigint as min_m, max(vc)::bigint as max_m
+        from e group by window_start, user_id
+        order by window_start, user_id
     """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)

@@ -255,6 +255,27 @@ class LensTable:
         man = self._manifest()
         return 0 if man is None else len(self._dirs(man))
 
+    def read_for_keys(self, spark: SparkSession, keys_df: DataFrame,
+                      key: str) -> DataFrame | None:
+        """Bucket-pruned point read: scan ONLY the data dirs whose
+        bucket can contain one of ``keys_df[key]`` (plus any
+        unbucketed ``extra`` dirs from overwrite/append history).
+        Rows are NOT filtered to the keys — callers join/filter as
+        their plan needs; the win is skipping the other buckets'
+        FILES entirely (the merge_upsert pruning, exposed as a read
+        surface — what an incremental rollup/maintenance job needs to
+        stay O(increment))."""
+        man = self._manifest()
+        if man is None:
+            return None
+        affected = set(self._affected_buckets(keys_df, key))
+        dirs = [self._abs(r) for b, r in man["buckets"].items()
+                if int(b) in affected]
+        dirs += [self._abs(r) for r in man["extra"]]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
     def overwrite(self, df: DataFrame) -> str:
         return self._commit(self._new_manifest({}, [self._write_plain(df)]))
 

@@ -1,0 +1,80 @@
+"""Continuous-aggregate rollup (operators/rollup.py): incremental
+maintenance equals the one-shot aggregate, the point read is actually
+bucket-pruned, and snapshots time-travel."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lens_spark.operators.rollup import (
+    ROLLUP_KEY,
+    rollup_increment,
+    rollup_maintain,
+)
+from lens_spark.sources.tables import LensTable
+
+
+def _events(spark, n=300):
+    rows = [
+        (i, f"2026-01-01 {i % 24:02d}:{i % 60:02d}:00",
+         i % 7, (i * 37) % 200 - 50)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, tss string, user_id long, vc long"
+    ).withColumn("ts", F.col("tss").cast("timestamp")).drop("tss")
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    ev = _events(spark)
+    t = LensTable(str(tmp_path / "rollup"))
+    for part in range(3):
+        inc = ev.filter(F.col("event_id") % 3 == part)
+        rollup_maintain(
+            t, rollup_increment(inc, "ts", 3600, ["user_id"], "vc"),
+            ["user_id"])
+    got = {
+        (r.window_start, r.user_id): (r.n, r.sum_m, r.min_m, r.max_m)
+        for r in t.read(spark).collect()
+    }
+    oneshot = rollup_increment(ev, "ts", 3600, ["user_id"], "vc")
+    want = {
+        (r.window_start, r.user_id): (r.n, r.sum_m, r.min_m, r.max_m)
+        for r in oneshot.collect()
+    }
+    assert got == want
+    # negatives exercised (min below zero somewhere)
+    assert any(v[2] < 0 for v in want.values())
+
+
+def test_point_read_is_bucket_pruned(spark, tmp_path):
+    ev = _events(spark, 500)
+    t = LensTable(str(tmp_path / "rollup"))
+    rollup_maintain(
+        t, rollup_increment(ev, "ts", 3600, ["user_id"], "vc"),
+        ["user_id"])
+    full_files = set(t.read(spark).inputFiles())
+    one_key = t.read(spark).select(ROLLUP_KEY).limit(1)
+    pruned = t.read_for_keys(spark, one_key, ROLLUP_KEY)
+    assert pruned is not None
+    assert len(set(pruned.inputFiles())) < len(full_files)
+
+
+def test_snapshots_time_travel_over_folds(spark, tmp_path):
+    ev = _events(spark, 200)
+    t = LensTable(str(tmp_path / "rollup"))
+    s1 = rollup_maintain(
+        t,
+        rollup_increment(
+            ev.filter("event_id < 100"), "ts", 3600, ["user_id"], "vc"
+        ),
+        ["user_id"])
+    s2 = rollup_maintain(
+        t,
+        rollup_increment(
+            ev.filter("event_id >= 100"), "ts", 3600, ["user_id"], "vc"
+        ),
+        ["user_id"])
+    assert s1 != s2
+    n_before = t.read(spark, snapshot=s1).agg(F.sum("n")).collect()[0][0]
+    n_after = t.read(spark).agg(F.sum("n")).collect()[0][0]
+    assert n_before == 100 and n_after == 200
