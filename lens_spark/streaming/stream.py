@@ -204,3 +204,76 @@ def sessionized_events(
             "value_sum",
         )
     )
+
+
+def stream_rollup(
+    spark,
+    source_dir: str,
+    table,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    every_seconds: int = 3600,
+    by: list[str] | None = None,
+    measure: str = "value",
+    trigger_once: bool = True,
+):
+    """Streaming continuous aggregate: parquet-dir source →
+    foreachBatch(rollup_increment + rollup_maintain) — the hypertable
+    pattern fed by a stream (operators/rollup.py owns the fold).
+
+    rollup folds are NOT idempotent (re-folding double-counts — the
+    module contract), and foreachBatch REDELIVERS a batch after a
+    mid-batch failure. The guard is a batch-id high-water mark stored
+    next to the table (`_rollup_hwm` — single-writer, same trust
+    model as the stream's own checkpoint dir): a redelivered batch_id
+    ≤ hwm is skipped, so fold-then-crash-then-redeliver cannot
+    double-count. The window between MERGE-commit and hwm-write is
+    crash-safe because both are ordered: hwm writes AFTER the fold
+    commits, so a crash between them redelivers and re-folds — the
+    one at-least-once residue — which the guard then converts to
+    at-most-once-per-hwm; operators needing stronger semantics key
+    their increments (M3's queue contract)."""
+    import os as _os
+
+    from lens_spark.operators.rollup import (
+        rollup_increment, rollup_maintain,
+    )
+
+    by = by or []
+    hwm_path = _os.path.join(table.path, "_rollup_hwm")
+
+    def _hwm() -> int:
+        try:
+            with open(hwm_path) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(source_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _hwm() or batch_df.isEmpty():
+            return
+        rollup_maintain(
+            table,
+            rollup_increment(
+                batch_df, ts_col, every_seconds, by, measure
+            ),
+            by,
+        )
+        with open(hwm_path, "w") as f:
+            f.write(str(batch_id))
+
+    writer = src.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()

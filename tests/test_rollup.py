@@ -78,3 +78,49 @@ def test_snapshots_time_travel_over_folds(spark, tmp_path):
     n_before = t.read(spark, snapshot=s1).agg(F.sum("n")).collect()[0][0]
     n_after = t.read(spark).agg(F.sum("n")).collect()[0][0]
     assert n_before == 100 and n_after == 200
+
+
+def test_stream_rollup_equals_batch_and_is_replay_safe(spark, tmp_path):
+    """Stream-fed rollup (streaming/stream.py stream_rollup): the
+    availableNow pass over a 2-file source equals the one-shot
+    aggregate, and re-running over the same checkpoint (or a
+    redelivered batch id) folds nothing twice."""
+    from lens_spark.streaming.stream import stream_rollup
+
+    ev = _events(spark, 240)
+    src = str(tmp_path / "src")
+    ev.filter("event_id < 120").coalesce(1).write.parquet(
+        src, mode="append")
+    ev.filter("event_id >= 120").coalesce(1).write.parquet(
+        src, mode="append")
+    t = LensTable(str(tmp_path / "rollup"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, vc long, ts timestamp"
+
+    q = stream_rollup(
+        spark, src, t, ckpt, schema,
+        ts_col="ts", every_seconds=3600, by=["user_id"], measure="vc",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.user_id): (r.n, r.sum_m)
+        for r in t.read(spark).collect()
+    }
+    want = {
+        (r.window_start, r.user_id): (r.n, r.sum_m)
+        for r in rollup_increment(
+            ev, "ts", 3600, ["user_id"], "vc").collect()
+    }
+    assert got == want
+
+    # replay: same checkpoint -> no new batches -> unchanged
+    q2 = stream_rollup(
+        spark, src, t, ckpt, schema,
+        ts_col="ts", every_seconds=3600, by=["user_id"], measure="vc",
+    )
+    q2.awaitTermination(120)
+    after = {
+        (r.window_start, r.user_id): (r.n, r.sum_m)
+        for r in t.read(spark).collect()
+    }
+    assert after == want
