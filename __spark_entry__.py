@@ -2044,6 +2044,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("window_start", "user_id")
         )
 
+    def q_stream_rollup(spark, sf):
+        # the SAME hourly × user rollup, fed through Structured
+        # Streaming (stream_rollup: foreachBatch fold + batch-id
+        # high-water mark): availableNow over a scratch copy of the
+        # events (integer cents precomputed — float sums would drift
+        # by combine order), then read the table — must equal the
+        # one-shot GROUP BY oracle, proving stream == incremental ==
+        # batch on one oracle.
+        import tempfile
+
+        from lens_spark.sources.tables import LensTable
+        from lens_spark.streaming.stream import stream_rollup
+
+        base = tempfile.mkdtemp(prefix="lens_stream_rollup_")
+        src = os.path.join(base, "src")
+        ev = _events(spark, sf).select(
+            "event_id", "ts", "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long").alias("vc"),
+        )
+        ev.write.parquet(src)
+        t = LensTable(os.path.join(base, "rollup"))
+        q = stream_rollup(
+            spark, src, t, os.path.join(base, "ckpt"),
+            "event_id long, ts timestamp, user_id long, vc long",
+            ts_col="ts", every_seconds=3600, by=["user_id"],
+            measure="vc",
+        )
+        q.awaitTermination(300)
+        return (
+            t.read(spark)
+            .select(
+                "window_start", "user_id", "n",
+                "sum_m", "min_m", "max_m",
+            )
+            .orderBy("window_start", "user_id")
+        )
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2287,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "zorder_key": q_zorder_key,
         "events_rollup": q_events_rollup,
+        "stream_rollup": q_stream_rollup,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4306,6 +4345,8 @@ def oracle_sql() -> dict[str, str]:
         from e group by window_start, user_id
         order by window_start, user_id
     """
+    # stream-fed rollup: same one-shot oracle — stream == batch
+    out["stream_rollup"] = out["events_rollup"]
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
     out["wds_manifest"] = r"""
