@@ -2082,6 +2082,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("window_start", "user_id")
         )
 
+    def q_search_postings(spark, sf):
+        # inverted-index export (search.py export_postings): the flat
+        # (token, doc_id, tf, df) table the README serving path bulk-
+        # loads into an online index; k=5 impact-ordered cap per token
+        # via the cell-decomposition top_k_per_group (equals the naive
+        # window rule exactly), analyzer = the stored-token analyzer.
+        from lens_spark.operators.search import export_postings
+
+        return export_postings(_docs(spark, sf), k=5).orderBy(
+            "token", F.desc("tf"), "doc_id"
+        )
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2326,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "events_rollup": q_events_rollup,
         "stream_rollup": q_stream_rollup,
+        "search_postings": q_search_postings,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4347,6 +4360,28 @@ def oracle_sql() -> dict[str, str]:
     """
     # stream-fed rollup: same one-shot oracle — stream == batch
     out["stream_rollup"] = out["events_rollup"]
+    # postings export: tf per (token, doc), df per token, k=5 cap ==
+    # the naive row_number window rule (top_k_per_group's contract)
+    out["search_postings"] = f"""
+        with t as (
+          select doc_id, {analyze_toks} as tk from documents
+        ), g as (
+          select doc_id, unnest(tk) as token from t
+        ), tf as (
+          select token, doc_id, count(*)::bigint as tf
+          from g group by token, doc_id
+        ), d as (
+          select token, count(*)::bigint as df from tf group by token
+        ), r as (
+          select tf.*, row_number() over (
+            partition by token order by tf desc, doc_id asc
+          ) as rn from tf
+        )
+        select r.token, r.doc_id, r.tf, d.df
+        from r join d using (token)
+        where r.rn <= 5
+        order by r.token, r.tf desc, r.doc_id
+    """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)
     out["wds_manifest"] = r"""

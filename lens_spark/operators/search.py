@@ -582,3 +582,51 @@ def search_or_raise(extracted: DataFrame, q: Query,
     if not rows:
         raise NoResultsError("no results found")
     return rows
+
+
+def export_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int | None = None,
+) -> DataFrame:
+    """Inverted-index export: the flat ``(token, doc_id, tf, df)``
+    postings table an ONLINE index (OpenSearch/Lucene/pg_trgm — the
+    README serving path this backs) bulk-loads. Analyzer = the same
+    :func:`analyze` the search tier stores, so the online replica and
+    the Spark facade agree on tokenization by construction.
+
+    ``k`` caps each token's postings at its k highest-tf documents
+    (tf desc, doc asc — the impact-ordered index-pruning rule,
+    Anh & Moffat: serving top-k queries rarely needs the full list of
+    a stop-word-grade token). The cap runs through
+    :func:`~lens_spark.operators.mixing.top_k_per_group` — cell
+    decomposition, so the hottest token costs its boundary sliver,
+    never a whole-token sort on one partition.
+
+    100 TB shape: explode is map-only; tf is one map-side-combined
+    groupBy on (token, doc); df is a second combine on token (rows
+    already one-per-doc); the df join-back is a plain equi-join on
+    token AQE-sizes (vocab can be model-sized OR huge — never forced
+    broadcast). No collect anywhere; the output is a table, written
+    like any other export."""
+    from lens_spark.operators.mixing import top_k_per_group
+
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.explode(analyze(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    capped = (
+        top_k_per_group(tf, "token", "tf", k, id_col)
+        .select("token", id_col, "tf")
+        if k is not None
+        else tf
+    )
+    return capped.join(dfreq, "token").select(
+        "token", id_col, "tf", "df"
+    )

@@ -395,3 +395,31 @@ def test_analyzer_version_guard(spark, indexed, tmp_path):
     with pytest.warns(UserWarning, match="analyzer"):
         plan_legacy = formatted_plan(search(legacy, q))
     assert "split(" in plan_legacy
+
+
+def test_export_postings_tf_df_and_cap(spark):
+    """Flat postings export: tf multiplicity, df per token, and the
+    k-cap keeps highest-tf docs (tf desc, doc asc ties)."""
+    from lens_spark.operators.search import export_postings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {(r.token, r.doc_id): (r.tf, r.df)
+            for r in export_postings(docs).collect()}
+    assert full[("apple", 1)] == (2, 3)
+    assert full[("banana", 2)] == (2, 2)
+    assert full[("cherry", 3)] == (1, 1)
+
+    capped = export_postings(docs, k=2)
+    apple = sorted(
+        (r.doc_id, r.tf) for r in capped.filter(
+            "token = 'apple'").collect())
+    # apple tf: doc1=2, doc2=1, doc3=1 -> cap 2 keeps doc1 + doc2 (tie
+    # at tf=1 broken by doc asc)
+    assert apple == [(1, 2), (2, 1)]
