@@ -124,3 +124,49 @@ def test_stream_rollup_equals_batch_and_is_replay_safe(spark, tmp_path):
         for r in t.read(spark).collect()
     }
     assert after == want
+
+
+def test_rollup_job_run_batch_and_stream(spark, tmp_path):
+    """The spark-submit rollup job in-process: per-increment batch
+    folds accumulate, and --stream mode over the same source matches."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "rollup_job",
+        _os.path.join(_os.path.dirname(__file__), "..", "jobs",
+                      "rollup_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    ev = _events(spark, 200).withColumn(
+        "value", (F.col("vc") / 100.0))  # float measure for --cents
+    inc1 = str(tmp_path / "inc1")
+    inc2 = str(tmp_path / "inc2")
+    ev.filter("event_id < 100").write.parquet(inc1)
+    ev.filter("event_id >= 100").write.parquet(inc2)
+
+    out_b = str(tmp_path / "batch")
+    r1 = job.run(spark, inc1, out_b, every=3600, by=["user_id"],
+                 measure="value", cents=True)
+    r2 = job.run(spark, inc2, out_b, every=3600, by=["user_id"],
+                 measure="value", cents=True)
+    assert r2["total_n"] == 200 and r2["snapshot"] != r1["snapshot"]
+
+    src = str(tmp_path / "srcall")
+    ev.write.parquet(src)
+    out_s = str(tmp_path / "stream")
+    rs = job.run(spark, src, out_s, every=3600, by=["user_id"],
+                 measure="value", cents=True, stream=True)
+    assert rs["mode"] == "stream" and rs["total_n"] == 200
+    assert rs["cells"] == r2["cells"]
+    ba = {
+        (r.window_start, r.user_id): (r.n, r.sum_m)
+        for r in LensTable(f"{out_b}/rollup").read(spark).collect()
+    }
+    st = {
+        (r.window_start, r.user_id): (r.n, r.sum_m)
+        for r in LensTable(f"{out_s}/rollup").read(spark).collect()
+    }
+    assert ba == st
