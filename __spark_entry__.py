@@ -2094,6 +2094,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "token", F.desc("tf"), "doc_id"
         )
 
+    def q_lexicon_filter(spark, sf):
+        # C4-style lexicon screen (functions/text.py lexicon_flags):
+        # whole-token hits via arrays_overlap + substring phrase hits,
+        # map-only; the blocklist is caller policy — the row uses
+        # corpus-present tokens/phrases so all three flags are
+        # non-vacuous ('slow' ~900 docs, 'hash join' ~27 at sf0.01).
+        from lens_spark.functions.text import lexicon_flags
+
+        fl = lexicon_flags(
+            F.col("text"),
+            words=["slow", "zzznotaword"],
+            phrases=["hash join"],
+        )
+        return (
+            _docs(spark, sf)
+            .select(
+                "doc_id",
+                fl["word_hit"].alias("word_hit"),
+                fl["phrase_hit"].alias("phrase_hit"),
+                fl["keep"].alias("keep"),
+            )
+            .orderBy("doc_id")
+        )
+
     def q_decontaminate(spark, sf):
         # every 50th doc plays the evaluation set; 5-gram overlap flags
         # (operator default is 8 — the corpus vocabulary is tiny, so 5
@@ -2339,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "stream_rollup": q_stream_rollup,
         "search_postings": q_search_postings,
+        "lexicon_filter": q_lexicon_filter,
         "wds_manifest": q_wds_manifest,
         "mds_manifest": q_mds_manifest,
         "token_budget_select": q_token_budget,
@@ -4381,6 +4406,24 @@ def oracle_sql() -> dict[str, str]:
         from r join d using (token)
         where r.rn <= 5
         order by r.token, r.tf desc, r.doc_id
+    """
+    # lexicon screen: whole-token hits + substring phrase hits
+    out["lexicon_filter"] = r"""
+        with t as (
+          select doc_id, lower(coalesce(text, '')) as low
+          from documents
+        ), f as (
+          select doc_id,
+                 (list_has_any(
+                    list_filter(string_split_regex(low, '\s+'),
+                                w -> len(w) > 0),
+                    ['slow', 'zzznotaword']))::int as word_hit,
+                 contains(low, 'hash join')::int as phrase_hit
+          from t
+        )
+        select doc_id, word_hit, phrase_hit,
+               (1 - greatest(word_hit, phrase_hit))::int as keep
+        from f order by doc_id
     """
     # WebDataset manifest: per-shard doc counts under the corpus_shuffle
     # md5 rule, seed 42, 8 shards (tar bytes pinned by pytest)

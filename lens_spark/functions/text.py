@@ -459,3 +459,43 @@ def script_profile(col: Column) -> Column:
         col.isNull() | (best["n"] == 0), F.lit("none")
     ).otherwise(best["name"])
     return F.struct(*counts, dominant.alias("dominant"))
+
+
+def lexicon_flags(
+    col: Column,
+    words: list[str] | None = None,
+    phrases: list[str] | None = None,
+) -> Column:
+    """C4-style lexicon screen: the public C4 pipeline drops any page
+    containing a word from its blocklist (the LDNOOBW list);
+    RefinedWeb/Dolma carry the same signal as a tagger.  The LIST is
+    the caller's — policy, locale and licensing live outside the
+    engine, so this repo ships no lexicon.
+
+    ``words`` match whole lowercased whitespace tokens
+    (``arrays_overlap`` against a literal array — map-only, zero
+    shuffle, codegen); ``phrases`` match as lowercased substrings.
+    Returns ``struct(word_hit, phrase_hit, keep)`` ints —
+    annotate-don't-drop (the curate() convention): keep the flags as
+    columns, route drops through apply_mix / a filter so the attrition
+    stays observable."""
+    low = F.lower(F.coalesce(col, F.lit("")))
+    word_hit = F.lit(False)
+    if words:
+        word_hit = F.arrays_overlap(
+            ws_tokens(low),
+            F.array(*[F.lit(w.lower()) for w in words]),
+        )
+    phrase_hit = F.lit(False)
+    if phrases:
+        acc = None
+        for p in phrases:
+            c = low.contains(p.lower())
+            acc = c if acc is None else (acc | c)
+        phrase_hit = acc
+    keep = ~(word_hit | phrase_hit)
+    return F.struct(
+        word_hit.cast("int").alias("word_hit"),
+        phrase_hit.cast("int").alias("phrase_hit"),
+        keep.cast("int").alias("keep"),
+    )

@@ -300,3 +300,42 @@ def test_encoding_quality_detects_mojibake(spark):
     assert got[4]["n_replacement"] == 2 and got[4]["suspect"] is True
     assert got[5]["n_mojibake"] == 1
     assert got[6]["suspect"] is None  # null text stays null, not false
+
+
+def test_lexicon_flags_words_phrases_null(spark):
+    from lens_spark.functions.text import lexicon_flags
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a BAD word here"),
+            (2, "clean text only"),
+            (3, "the exact phrase lives here"),
+            (4, None),
+            (5, "badword and badly split"),  # substring != token
+        ],
+        "i long, text string",
+    )
+    fl = lexicon_flags(
+        F.col("text"), words=["bad"], phrases=["exact phrase"])
+    got = {
+        r.i: (r.f.word_hit, r.f.phrase_hit, r.f.keep)
+        for r in df.select("i", fl.alias("f")).collect()
+    }
+    assert got[1] == (1, 0, 0)      # case-folded token hit
+    assert got[2] == (0, 0, 1)
+    assert got[3] == (0, 1, 0)      # phrase substring hit
+    assert got[4] == (0, 0, 1)      # null text is clean, not dropped
+    assert got[5] == (0, 0, 1)      # 'badword'/'bad split' tokens: no
+
+
+def test_lexicon_flags_is_map_only(spark):
+    from lens_spark.functions.text import lexicon_flags
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "i long, text string")
+    plan = df.select(
+        lexicon_flags(F.col("text"), words=["w"], phrases=["p q"])
+        .alias("f")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
