@@ -6,6 +6,7 @@ training-ready data):
     spark-submit --py-files lens_spark.zip jobs/curate_job.py \
         <docs.parquet> <out_dir> [--exactsubstr-k K] \
         [--chunk MAX[,OVERLAP]] [--classifier-min P] \
+        [--lexicon-words w1,w2] [--lexicon-phrases "p one,p two"] \
         [--benchmark eval.parquet] \
         [--fuzzy-benchmark eval.parquet [--fuzzy-threshold T]] \
         [--lm-ppl-max X [--lm-train ref.parquet]] \
@@ -64,6 +65,8 @@ def run(
     exactsubstr_k: int | None = None,
     chunk: tuple[int, int] | None = None,
     classifier_min: float | None = None,
+    lexicon_words: list[str] | None = None,
+    lexicon_phrases: list[str] | None = None,
     benchmark=None,
     fuzzy_benchmark=None,
     fuzzy_threshold: float = 0.5,
@@ -84,6 +87,8 @@ def run(
         docs, id_col=id_col, text_col=text_col,
         exactsubstr_k=exactsubstr_k,
         classifier_min=classifier_min,
+        lexicon_words=lexicon_words,
+        lexicon_phrases=lexicon_phrases,
         benchmark=benchmark,
         fuzzy_benchmark=fuzzy_benchmark,
         fuzzy_threshold=fuzzy_threshold,
@@ -155,6 +160,14 @@ def main() -> None:
         classifier_min=(
             float(cm) if (cm := _flag("--classifier-min")) is not None
             else None
+        ),
+        lexicon_words=(
+            lw.split(",")
+            if (lw := _flag("--lexicon-words")) is not None else None
+        ),
+        lexicon_phrases=(
+            lp.split(",")
+            if (lp := _flag("--lexicon-phrases")) is not None else None
         ),
         benchmark=(
             spark.read.parquet(bp)

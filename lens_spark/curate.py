@@ -4,6 +4,8 @@ Chains the individually-verified operators into the standard pre-training
 data flow (C4 §2.2 / Gopher App. A / RefinedWeb-style):
 
     c4 line cleaning → gopher quality rules [→ classifier quality]
+    [→ lexicon screen (lexicon_words=/lexicon_phrases=, the C4
+    LDNOOBW-style stage)]
     [→ LM perplexity filter (lm_ppl_max=, the CCNet stage)]
     [→ test-set decontamination (benchmark=)]
     [→ fuzzy MinHash decontamination (fuzzy_benchmark=)] → pii redaction
@@ -66,6 +68,8 @@ def curate(
     classifier_min: float | None = None,
     classifier_dim: int = 256,
     classifier_weights: list[int] | None = None,
+    lexicon_words: list[str] | None = None,
+    lexicon_phrases: list[str] | None = None,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
     decontam_max_gram_df: int | None = None,
@@ -105,6 +109,13 @@ def curate(
     WEIGHT_SCALE-quantized vector — see ``load_fasttext_weights``) for a
     real model; the default md5-derived stand-in keeps the execution
     shape. Map-only Catalyst — adds no shuffle to the chain.
+
+    ``lexicon_words`` / ``lexicon_phrases`` (off by default) insert the
+    C4 lexicon screen after the Gopher rules: ``lex_keep`` = 0 when the
+    cleaned text contains a blocklist token (whole-token match) or
+    phrase (substring) — functions/text.py lexicon_flags; the list is
+    caller policy (C4 uses the public LDNOOBW list). Map-only, adds no
+    shuffle.
 
     ``benchmark`` (off by default) inserts test-set decontamination
     after the quality stages: ``decontam_keep`` = 0 for any doc whose
@@ -195,6 +206,22 @@ def curate(
         )
     else:
         base = base.withColumn("clf_keep", F.lit(1))
+    if lexicon_words or lexicon_phrases:
+        from lens_spark.functions.text import lexicon_flags
+
+        base = base.withColumn(
+            "lex_keep",
+            F.coalesce(
+                lexicon_flags(
+                    F.col("c4.clean_text"),
+                    words=lexicon_words,
+                    phrases=lexicon_phrases,
+                )["keep"].cast("int"),
+                F.lit(0),
+            ),
+        )
+    else:
+        base = base.withColumn("lex_keep", F.lit(1))
     if lm_ppl_max is not None:
         from lens_spark.operators.lm import bigram_lm_scores
 
@@ -291,6 +318,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("lex_keep") == 1)
         & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
         & (F.col("fuzzy_keep") == 1)
@@ -308,6 +336,7 @@ def curate(
         (F.col("c4_keep") == 1)
         & (F.col("gopher_keep") == 1)
         & (F.col("clf_keep") == 1)
+        & (F.col("lex_keep") == 1)
         & (F.col("lm_keep") == 1)
         & (F.col("decontam_keep") == 1)
         & (F.col("fuzzy_keep") == 1)
@@ -373,6 +402,7 @@ def curate(
             (F.col("c4_keep") == 1)
             & (F.col("gopher_keep") == 1)
             & (F.col("clf_keep") == 1)
+            & (F.col("lex_keep") == 1)
             & (F.col("lm_keep") == 1)
             & (F.col("decontam_keep") == 1)
             & (F.col("fuzzy_keep") == 1)
@@ -419,6 +449,8 @@ def curation_report(annotated: DataFrame) -> dict:
     # stage off (off == all 1s)
     cl = (F.col("clf_keep") == 1) if "clf_keep" in annotated.columns \
         else F.lit(True)
+    lx = (F.col("lex_keep") == 1) if "lex_keep" in annotated.columns \
+        else F.lit(True)
     lm = (F.col("lm_keep") == 1) if "lm_keep" in annotated.columns \
         else F.lit(True)
     dc = (F.col("decontam_keep") == 1) \
@@ -433,23 +465,28 @@ def curation_report(annotated: DataFrame) -> dict:
         F.sum((~c4).cast("long")).alias("dropped_c4"),
         F.sum((c4 & ~go).cast("long")).alias("dropped_gopher"),
         F.sum((c4 & go & ~cl).cast("long")).alias("dropped_classifier"),
-        F.sum((c4 & go & cl & ~lm).cast("long")).alias("dropped_lm"),
-        F.sum((c4 & go & cl & lm & ~dc).cast("long")).alias(
+        F.sum((c4 & go & cl & ~lx).cast("long")).alias(
+            "dropped_lexicon"
+        ),
+        F.sum((c4 & go & cl & lx & ~lm).cast("long")).alias(
+            "dropped_lm"
+        ),
+        F.sum((c4 & go & cl & lx & lm & ~dc).cast("long")).alias(
             "dropped_decontam"
         ),
-        F.sum((c4 & go & cl & lm & dc & ~fz).cast("long")).alias(
+        F.sum((c4 & go & cl & lx & lm & dc & ~fz).cast("long")).alias(
             "dropped_fuzzy_decontam"
         ),
-        F.sum((c4 & go & cl & lm & dc & fz & ~ex).cast("long")).alias(
-            "dropped_exact_dup"
-        ),
         F.sum(
-            (c4 & go & cl & lm & dc & fz
+            (c4 & go & cl & lx & lm & dc & fz & ~ex).cast("long")
+        ).alias("dropped_exact_dup"),
+        F.sum(
+            (c4 & go & cl & lx & lm & dc & fz
              & ex & (F.col("neardup_keep") == 0))
             .cast("long")
         ).alias("dropped_near_dup"),
         F.sum(
-            (c4 & go & cl & lm & dc & fz
+            (c4 & go & cl & lx & lm & dc & fz
              & ex & (F.col("neardup_keep") == 1) & ~se)
             .cast("long")
         ).alias("dropped_semantic"),

@@ -442,3 +442,41 @@ def test_semantic_stage(spark):
     # the stage off -> column defaults to 1 and the bucket reads 0
     rep_off = curation_report(curate(docs).annotated)
     assert rep_off["dropped_semantic"] == 0
+
+
+def test_lexicon_stage(spark):
+    """lexicon_words/phrases insert the C4-style lexicon screen after
+    the classifier: a blocked token or phrase in otherwise-good text
+    drops the doc, attributed to dropped_lexicon, and the report still
+    partitions the input."""
+    blocked = _GOOD.replace("sleepy", "verboten", 1)
+    phrased = _GOOD.replace("sleepy", "strictly forbidden", 1)
+    df = spark.createDataFrame(
+        [(1, _GOOD), (2, blocked), (3, phrased)],
+        "doc_id long, text string",
+    )
+    res = curate(
+        df,
+        lexicon_words=["VERBOTEN"],           # case-folded match
+        lexicon_phrases=["strictly forbidden"],
+    )
+    rep = curation_report(res.annotated)
+    assert rep["dropped_lexicon"] == 2
+    assert rep["kept_docs"] == 1
+    kept_ids = [r.doc_id for r in res.curated.collect()]
+    assert kept_ids == [1]
+    total = (
+        rep["dropped_c4"] + rep["dropped_gopher"]
+        + rep["dropped_classifier"] + rep["dropped_lexicon"]
+        + rep["dropped_lm"] + rep["dropped_decontam"]
+        + rep["dropped_fuzzy_decontam"] + rep["dropped_exact_dup"]
+        + rep["dropped_near_dup"] + rep["dropped_semantic"]
+        + rep["kept_docs"]
+    )
+    assert total == rep["input_docs"] == 3
+    # stage off by default: lex_keep constant 1, bucket zero (the
+    # three docs are near-dups of each other, so the minhash stage
+    # may collapse them — only the lexicon attribution must be 0)
+    rep_off = curation_report(curate(df).annotated)
+    assert rep_off["dropped_lexicon"] == 0
+    assert rep_off["kept_docs"] + rep_off["dropped_near_dup"] == 3
