@@ -99,3 +99,53 @@ def explode_spans(docs: DataFrame, cfg: ExtractConfig = DEFAULT) -> DataFrame:
 
 def spark_cores(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
+
+
+def explode_spans_lean(docs: DataFrame,
+                       cfg: ExtractConfig = DEFAULT) -> DataFrame:
+    """Minimal-column span explosion for the single-pass pipeline
+    (operators/extract.py ``run_span_extract``).
+
+    Same explode/salt/size-order semantics as :func:`explode_spans`, but
+    the exchange carries ONLY what the span UDF needs — doc_id,
+    display_name, offset, kind, media_ref, payload — about half the
+    bytes of the full relation (the raw ``text`` column is dropped once
+    ``payload`` is derived from it, and sniff outputs move into the UDF
+    where they are computed once instead of per branch). Salt and size
+    order are expressions, not materialized columns, so they never cross
+    the exchange either.
+    """
+    base_cols = ["doc_id"]
+    if "display_name" in docs.columns:
+        base_cols.append("display_name")
+    sp = docs.select(
+        *base_cols,
+        F.posexplode_outer("spans").alias("pos", "span"),
+    ).select(
+        *base_cols,
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    if "display_name" not in sp.columns:
+        sp = sp.withColumn("display_name", F.lit(None).cast("string"))
+
+    is_textual = F.col("kind").isin("text", "html")
+    payload = (
+        F.when(F.col("kind") == "media", F.lit(None).cast("binary"))
+        .when(is_textual, F.encode(F.col("text"), "UTF-8"))
+        # binary kinds are stored base64; invalid base64 → NULL → quarantine
+        .otherwise(F.try_to_binary(F.col("text"), F.lit("base64")))
+    )
+    sp = sp.select(
+        "doc_id", "display_name", "offset", "kind", "media_ref",
+        payload.alias("payload"),
+    )
+    # same skew-defusing layout as explode_spans: partition count tracks
+    # CORES (the stage above is Python-CPU-bound), salt spreads hot docs.
+    n = cfg.num_partitions or 2 * spark_cores(docs)
+    salt = F.pmod(F.xxhash64("doc_id", "offset"), F.lit(cfg.salt_buckets))
+    return sp.repartition(n, F.col("doc_id"), salt).sortWithinPartitions(
+        F.coalesce(F.length("payload"), F.lit(0))
+    )

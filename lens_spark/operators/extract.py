@@ -170,6 +170,142 @@ def _extract_one(b: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     )
 
 
+# ------------------------------------------------------- single-pass UDF
+def _span_one(b: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """One Arrow batch of lean exploded spans → SPAN_OUT rows.
+
+    Replicates the branch semantics of :func:`dispatch` + the four
+    normalizers row-for-row (pinned by tests/test_pipeline.py and the
+    extract_full fixture oracle), but in ONE pass: sniff is computed
+    once per span (vectorized ``sniff_series``), HTML main-content uses
+    the reference-spec ``strip_html`` (bit-identical to the
+    html_ops DataFrame formulation — tests/test_html.py), and
+    pdf/image/binary payloads run the same ``_extract_*`` helpers as
+    the branch UDF."""
+    from lens_spark.extractors.html_strip import strip_html
+    from lens_spark.functions.mime import SNIFF_LEN, sniff_series
+
+    payloads = list(b["payload"])
+    kinds = list(b["kind"])
+    offsets = list(b["offset"])
+    heads = pd.Series(
+        [p[:SNIFF_LEN].decode("latin-1") if p is not None else None
+         for p in payloads],
+        dtype=object,
+    )
+    mimes = sniff_series(heads)
+
+    out_kind: list = []
+    out_text: list = []
+    out_mime: list = []
+    out_kw: list = []
+    out_err: list = []
+    for i, (payload, kind_hint, offset) in enumerate(
+        zip(payloads, kinds, offsets)
+    ):
+        if offset is None or offset != offset:  # NaN-safe null probe:
+            # posexplode_outer sentinel for zero-span docs (arrow hands
+            # nullable ints to pandas as float64 NaN)
+            out_kind.append("__empty__")
+            out_text.append(None)
+            out_mime.append(None)
+            out_kw.append(None)
+            out_err.append(None)
+            continue
+        if kind_hint == "media":
+            out_kind.append("media")
+            out_text.append(None)
+            out_mime.append(None)
+            out_kw.append(None)
+            out_err.append(None)
+            continue
+        mime = mimes.iat[i] if payload is not None else None
+        parsed = mime.split(";", 1)[0].strip() if mime is not None else None
+        family = parsed.split("/", 1)[0] if parsed is not None else None
+        kind, text, keyword, error = None, None, None, None
+        if (
+            family == "text"
+            and parsed != "text/html"
+            and kind_hint in ("text", "html")
+        ):
+            # textual-stored passthrough: payload is the UTF-8 encoding
+            # of the original string, so strict decode round-trips it
+            kind, text = "text", bytes(payload).decode("utf-8")
+        elif parsed == "text/html":
+            kind = "html"
+            text = strip_html(
+                bytes(payload).decode("utf-8", errors="replace"),
+                cfg.html_min_text_chars,
+                cfg.html_link_density_max,
+            )
+        else:
+            try:
+                if payload is None:
+                    error = ERR_NO_CONTENT
+                elif parsed == "application/pdf":
+                    kind = "pdf"
+                    text = _extract_pdf(bytes(payload), cfg)
+                elif family == "image":
+                    kind = "image"
+                    text, keyword = _extract_image(bytes(payload))
+                elif family == "text":
+                    # binary-stored payload sniffing as text: lossless
+                    # latin-1 (Go string(contents) parity, v2_util.go:74)
+                    kind = "text"
+                    text = bytes(payload).decode("latin-1")
+                else:
+                    error = ERR_UNSUPPORTED
+            except PdfError as e:
+                kind, text = None, None
+                error = str(e) or "failed to analyze PDF"
+            except OcrError:
+                kind, text, error = None, None, ERR_IMAGE_CLASSIFY
+            if error is not None:
+                kind = kind_hint  # quarantine rows report the stored kind
+        out_kind.append(kind)
+        out_text.append(text)
+        out_mime.append(mime)
+        out_kw.append(keyword)
+        out_err.append(error)
+    return pd.DataFrame(
+        {
+            "doc_id": b["doc_id"].values,
+            "display_name": b["display_name"].values,
+            "offset": b["offset"].values,
+            "kind": out_kind,
+            "text": out_text,
+            "media_ref": b["media_ref"].values,
+            "mime": out_mime,
+            "keyword": out_kw,
+            "error": out_err,
+        }
+    )
+
+
+def make_span_udf(cfg: ExtractConfig = DEFAULT):
+    def span_batches(
+        it: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for arrow_batch in it:
+            for pdf_batch in _rebatch(arrow_batch, cfg.max_batch_bytes):
+                yield _span_one(pdf_batch, cfg)
+
+    return span_batches
+
+
+def run_span_extract(exploded_lean: DataFrame,
+                     cfg: ExtractConfig = DEFAULT) -> DataFrame:
+    """Single-pass extraction: lean exploded spans (see
+    ``explode_spans_lean``) → SPAN_OUT via ONE ``mapInPandas`` stage.
+
+    One scan, one exchange, one Python crossing — versus the branch
+    formulation's five filtered subtrees, whose per-branch pushed-down
+    filters defeat exchange/stage reuse (measured on Spark 4.1: five
+    parquet scans, six sniff evaluations, zero ReusedExchange at
+    runtime)."""
+    return exploded_lean.mapInPandas(make_span_udf(cfg), schema=SPAN_OUT)
+
+
 def dispatch(exploded: DataFrame, cfg: ExtractConfig = DEFAULT) -> dict:
     """Split the exploded relation into branch DataFrames.
 

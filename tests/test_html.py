@@ -92,3 +92,75 @@ def test_generated_page_expectation():
     rng = random.Random(3)
     html, expected = make_html(rng, n_paras=3)
     assert strip_html(html) == expected
+
+
+def _stdlib_blocks(doc: str):
+    """Force the html.parser path (bypass the fast tokenizer)."""
+    from lens_spark.extractors.html_strip import _Flattener
+
+    f = _Flattener()
+    f.feed(doc or "")
+    f.close()
+    return [b for b in f.blocks if b.n_chars > 0]
+
+
+def test_fast_tokenizer_parity():
+    """The r06 fast tokenizer must either produce the EXACT html.parser
+    event stream or bail to it — so html_blocks output is identical on
+    every input, clean or hostile."""
+    from lens_spark.extractors.html_strip import _fast_feed, _Flattener
+
+    adversarial = [
+        "",
+        "plain text no tags",
+        "<p>ok</p>",
+        "<P>UPPER</P>",
+        "<p>self-closed<br/>here</p>",
+        "<p>entity &amp; here</p>",          # charref → must bail
+        "<p>comment <!-- hidden --> here</p>",  # comment → must bail
+        "<?php echo 1 ?><p>pi</p>",          # PI → must bail
+        "<p>a < b</p>",                      # bare '<' → bail
+        "<p>unclosed",
+        "<p><a href='/x'>x</a> tail</p>",
+        '<p><a href="/with>gt">x</a></p>',   # '>' inside quotes
+        "<script>if (a<b) {}</script><p>body text here ok</p>",  # '<' in cdata
+        "<script>var x=1;</script><p>body text here ok</p>",
+        "<style>p{color:red}</style><p>body text here ok</p>",
+        "<!DOCTYPE html><p>doc</p>",
+        "<p attr=unquoted>u</p>",
+        "<p a='1' b=\"2\" c>mixed</p>",
+        "<div><p>nested <b>bold</b> tail</p></div>",
+        "<td>cell</td><li>item</li>",
+        "<p>trailing lt <</p>",
+        "<p>x</p><",                          # trailing lone '<' → bail
+        "</p>stray end</p>",
+        "<p/>empty self-close",
+        "<nav><a href='/'>l</a></nav><article><p>main content text</p></article>",
+    ]
+    rng = random.Random(7)
+    docs = list(adversarial)
+    for i in range(200):
+        html, _ = make_html(rng, n_paras=rng.randint(1, 6))
+        docs.append(html)
+    # mutated/corrupted variants of clean pages exercise the bail path
+    for i in range(100):
+        html, _ = make_html(rng, n_paras=2)
+        cut = rng.randrange(len(html))
+        docs.append(html[:cut] + rng.choice(["<", "&x;", "<!--", "<?p", ""])
+                    + html[cut:])
+    n_fast = 0
+    for doc in docs:
+        fast = html_blocks(doc)
+        slow = _stdlib_blocks(doc)
+        assert [
+            (b.block_id, b.tag, b.depth, b.text, b.n_chars,
+             b.n_link_chars, b.n_tags, b.boiler) for b in fast
+        ] == [
+            (b.block_id, b.tag, b.depth, b.text, b.n_chars,
+             b.n_link_chars, b.n_tags, b.boiler) for b in slow
+        ], f"divergence on: {doc[:120]!r}"
+        probe = _Flattener()
+        if _fast_feed(probe, doc or ""):
+            n_fast += 1
+    # the fast path must actually engage on the clean corpus
+    assert n_fast >= 200, f"fast path engaged on only {n_fast} docs"

@@ -65,22 +65,26 @@ def test_extract_pipeline_shuffle_budget(spark):
     )
     res = extract(spans)
     s = plan_stats(res.extracted)
-    # The LOGICAL plan duplicates the scan→sniff→salt-exchange subtree
-    # under each of the 4 payload branches (union fan-in); AQE dedupes the
-    # identical exchanges into one shuffle at runtime (stage reuse), so
-    # the budget here is on the logical shape: 4x salt exchange + html
-    # window + html regather + final reassembly ≈ 12. A jump past 13
-    # means an accidental NEW shuffle (join, distinct, repartition).
-    assert s.exchanges <= 13, f"exchanges={s.exchanges}"
-    # exactly 2 mapInPandas stages (html node table + pdf/image extract);
-    # sniff appears once per branch subtree but is one runtime stage
+    # Single-pass formulation (r06): exactly ONE source subtree — salt
+    # exchange + reassembly exchange, nothing else. (The old 5-branch
+    # union planned five filtered copies of the scan→sniff subtree whose
+    # pushed-down per-branch filters defeated ReuseExchange/AQE stage
+    # reuse: 5 scans + 6 sniff evaluations per run, measured.) A jump
+    # past budget means an accidental NEW shuffle (join, distinct,
+    # repartition). Budget 3 = salt + reassembly + the single-partition
+    # exchange this fixture's own .limit(50) inserts.
+    assert s.exchanges <= 3, f"exchanges={s.exchanges}"
+    # exactly 1 mapInPandas stage (sniff + dispatch + extract in one
+    # Python crossing), and no other Python nodes anywhere
     txt = __import__("lens_spark.plans.inspect",
                      fromlist=["formatted_plan"]).formatted_plan(
         res.extracted)
     import re
 
-    assert len(re.findall(r"^\(\d+\) MapInPandas", txt, re.M)) == 2
-    assert s.python_stages <= 8, f"python_stages={s.python_stages}"
+    assert len(re.findall(r"^\(\d+\) MapInPandas", txt, re.M)) == 1
+    assert s.python_stages <= 1, f"python_stages={s.python_stages}"
+    # and exactly one scan of the input relation
+    assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) <= 1
 
 
 def test_similarity_topk_uses_take_ordered(docs):
