@@ -36,9 +36,12 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(col: Column) -> Column:
-    # filter_u: several ws_tokens/marker-hit lambdas often share one
-    # projection (lang_id builds four) — see functions/hof.py
-    return filter_u(F.split(col, _WS_SPLIT), lambda t: F.length(t) > 0)
+    # \S+ extraction ≡ split-on-\s+ + drop-empties (identical output for
+    # every input, incl. leading/trailing/multiple separators and ""),
+    # in ONE regex pass with no empty-string churn and no per-element
+    # lambda filter (HOF lambdas are excluded from codegen subexpression
+    # elimination, so they were the expensive half — measured r06)
+    return F.regexp_extract_all(col, F.lit(r"\S+"), F.lit(0))
 
 
 def token_count_ws(col: Column) -> Column:

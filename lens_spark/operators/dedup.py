@@ -92,10 +92,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- shingles
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """Distinct, sorted k-word shingles of the normalized text (sorted so
-    downstream min-hash inputs are order-stable)."""
-    toks = ws_tokens(normalize_text(col))
+def word_shingles(col: Column, k: int = 3, distinct: bool = True) -> Column:
+    """k-word shingles of the normalized text. ``distinct=True`` (the
+    default) returns the distinct sorted shingle set — what the
+    inclusion-exclusion (jaccard) and exploded-gram (decontam,
+    line-dedup) consumers rely on. ``distinct=False`` skips the
+    dedup+sort pass for min-aggregating consumers (minhash): the min
+    over the shingle multiset equals the min over its distinct set, so
+    signatures are bit-identical either way (r06).
+
+    Tokenization is ``ws_tokens(lower(col))`` — the \\S+ runs of the
+    lowered text — which equals the historical
+    ``ws_tokens(normalize_text(col))`` token-for-token (collapse+trim
+    before a whitespace split changes nothing) while skipping the
+    regexp_replace pass."""
+    toks = ws_tokens(F.lower(col))
     n = F.size(toks)
     sh = F.when(
         n >= k,
@@ -104,6 +115,8 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+    if not distinct:
+        return sh
     return F.array_sort(F.array_distinct(sh))
 
 
@@ -243,25 +256,6 @@ def minhash_band_rows(
     rows_per_band = num_hashes // bands
     # parallelize the map-side signature compute (see ensure_parallelism)
     df = ensure_parallelism(df)
-    # materialize shingles as a column FIRST: the signature references
-    # its input once per hash seed, and inlining word_shingles would make
-    # Catalyst evaluate the normalize/split/shingle subtree num_hashes
-    # times per row (measured 10x slowdown at 16 hashes)
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    )
-    if hash_fn == "md5":
-        def h1(h, s):
-            return F.md5(F.concat(F.lit(f"{h}:"), s))
-
-        band_hash = F.md5
-    else:
-        def h1(h, s):
-            return F.xxhash64(F.concat(F.lit(f"{h}:"), s))
-
-        band_hash = F.xxhash64
-
     # Each band hash is built from ONLY its own rows_per_band seeds —
     # never by slicing a full signature array. Slicing looks cleaner but
     # Catalyst cannot CSE higher-order functions (expressions containing
@@ -271,18 +265,79 @@ def minhash_band_rows(
     # (measured: the dominant cost of the round-1 plan). The algebra is
     # identical: band b covers seeds [b*r, (b+1)*r) either way, so md5
     # oracle outputs are unchanged.
-    def band_col(b: int):
-        mins = [
-            F.array_min(
-                transform_u(F.col("shingles"), lambda s, h=h: h1(h, s))
-            )
-            for h in range(b * rows_per_band, (b + 1) * rows_per_band)
-        ]
-        return band_hash(
-            F.array_join(F.array(*mins).cast("array<string>"), "|")
-        ).alias(f"band_{b}")
+    if hash_fn == "md5":
+        # materialize shingles as a column FIRST: the signature
+        # references its input once per hash seed, and inlining
+        # word_shingles would make Catalyst evaluate the
+        # normalize/split/shingle subtree num_hashes times per row
+        # (measured 10x slowdown at 16 hashes)
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_k).alias("shingles"),
+        )
 
-    with_bands = shingled.select("id", *[band_col(b) for b in range(bands)])
+        def band_col(b: int):
+            mins = [
+                F.array_min(
+                    transform_u(
+                        F.col("shingles"),
+                        lambda s, h=h: F.md5(F.concat(F.lit(f"{h}:"), s)),
+                    )
+                )
+                for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            return F.md5(
+                F.array_join(F.array(*mins).cast("array<string>"), "|")
+            ).alias(f"band_{b}")
+
+        with_bands = shingled.select(
+            "id", *[band_col(b) for b in range(bands)]
+        )
+    else:
+        # xxhash64 production path (r06): never build shingle strings at
+        # all — hash the k tokens of each shingle position directly
+        # (xxhash64 takes multiple columns) into ONE base hash per
+        # shingle, then derive the per-seed family by re-hashing the
+        # fixed-width base with the seed index: xxhash64(seed_h, base)
+        # is 16 bytes of input per seed instead of a full string hash
+        # per seed (~num_hashes x less string hashing; the standard
+        # minhash trick, cf. spark.ml MinHashLSH's re-mix of one base
+        # hash). This skips word_shingles' slice/array_join/dedup/sort
+        # allocations entirely (min over the multiset == min over the
+        # set, and the hash family is engine-internal — the md5 oracle
+        # path above is untouched). Tokens are materialized as a column
+        # first so the transform references an attribute, not the regex
+        # subtree (the round-1 CSE trap).
+        tokd = df.select(
+            F.col(id_col).alias("id"),
+            ws_tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        n = F.size(F.col("toks"))
+        base = F.when(
+            n >= shingle_k,
+            transform_u(
+                F.sequence(F.lit(1), n - shingle_k + 1),
+                lambda i: F.xxhash64(
+                    *[F.element_at(F.col("toks"), i + j)
+                      for j in range(shingle_k)]
+                ),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.array_join(F.col("toks"), " "))))
+        hashed = tokd.select("id", base.alias("hs"))
+
+        def band_col_xx(b: int):
+            mins = [
+                F.array_min(
+                    transform_u(F.col("hs"),
+                                lambda x, h=h: F.xxhash64(F.lit(h), x))
+                )
+                for h in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            return F.xxhash64(*mins).alias(f"band_{b}")
+
+        with_bands = hashed.select(
+            "id", *[band_col_xx(b) for b in range(bands)]
+        )
     return with_bands.selectExpr(
         "id",
         "stack({}, {}) as (band_no, bucket)".format(
