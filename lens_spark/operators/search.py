@@ -157,11 +157,16 @@ def analyze(col: Column, remove_stop_words: bool = False) -> Column:
     English stop set (bleve's ``en`` analyzer token filter) — see
     ``STOP_WORDS_EN``; the default analyzer used for match/no-match parity
     keeps them (scores differ from bleve either way, documented)."""
-    toks = filter_u(
-        F.split(
-            F.translate(F.lower(col), "ς", "σ"), r"[^\p{L}\p{N}]+"
-        ),
-        lambda t: F.length(t) > 0,
+    # r06: extract the token runs directly instead of splitting on the
+    # separator class and dropping empties — identical output for every
+    # input (both yield the maximal [\p{L}\p{N}]+ runs in order; the
+    # split form additionally produced leading/between empties that the
+    # lambda filter removed), one regex pass, no empty-string churn, no
+    # interpreted per-element filter (HOF lambdas are excluded from
+    # codegen subexpression elimination).
+    toks = F.regexp_extract_all(
+        F.translate(F.lower(col), "ς", "σ"),
+        F.lit(r"[\p{L}\p{N}]+"), F.lit(0),
     )
     if remove_stop_words:
         toks = filter_u(toks, lambda t: ~t.isin(*sorted(STOP_WORDS_EN)))
@@ -187,14 +192,17 @@ def _analyze_py(text: str, remove_stop_words: bool = False) -> list[str]:
 
 def doc_content(extracted: DataFrame) -> DataFrame:
     """Flatten extracted spans into one content string per doc (offset
-    order is already materialized in the spans array)."""
+    order is already materialized in the spans array).
+
+    r06: ``array_join(spans.text, ' ', '')`` ≡ the old
+    ``array_join(transform(spans, s → coalesce(s.text, '')), ' ')`` —
+    null elements/fields become '' either way — but the lambda-free
+    field extraction lets nested-schema pruning reach the scan
+    (ReadSchema: spans.element.text only, not the whole struct) and the
+    whole expression stays codegen-able."""
     return extracted.withColumn(
         "content",
-        F.array_join(
-            transform_u(F.col("spans"),
-                        lambda s: F.coalesce(s.text, F.lit(""))),
-            " ",
-        ),
+        F.array_join(F.col("spans.text"), " ", ""),
     )
 
 
@@ -411,9 +419,10 @@ def search(
     # tokens); a missing/stale stamp falls back to re-analysis with a
     # warning. The stamp probe is a limit-1 job on one column — O(one
     # partition), paid once per search() call on a stored table.
+    analyzed_per_query = True
     if "tokens" in extracted.columns:
         if _stored_analyzer_version(extracted) in (ANALYZER_VERSION, None):
-            df = extracted
+            analyzed_per_query = False
         else:
             import warnings
 
@@ -423,23 +432,57 @@ def search(
                 "re-analyzing per query — reindex to refresh the table",
                 stacklevel=2,
             )
-            df = prepare_search_index(extracted, cfg)
-    else:
-        df = prepare_search_index(extracted, cfg)
 
-    clauses: list[Column] = []
-    score: Column = F.lit(0.0)
+    # metadata clauses (Q4/Q5) reference only stored columns — apply
+    # them BELOW tokenization (r06): they push down to the scan
+    # (PushedFilters), and the per-query analyzer then runs over the
+    # survivors only instead of the whole corpus. AND-reordering —
+    # the result set is unchanged.
+    meta_clauses: list[Column] = []
+    if q.tags:
+        meta_clauses.append(
+            exists_u(F.col("tags"), lambda t: _exact_in(t, q.tags))
+        )
+    if q.categories:
+        meta_clauses.append(_exact_in(F.col("category"), q.categories))
+    if q.mime_types:
+        meta_clauses.append(_exact_in(F.col("mime_type"), q.mime_types))
+    if q.hashes:
+        meta_clauses.append(F.col("doc_id").isin(list(q.hashes)))
+
+    base = extracted
+    for c in meta_clauses:
+        base = base.filter(c)
+
+    # Q8 projection: all metadata fields except content (engine.go:177,
+    # index.go:20-26) — includes `indexed` (properties.indexed,
+    # engine/index.go:36-38) when the table carries it; tolerate tables
+    # written by pre-`indexed` versions of the engine.
+    fields = ["doc_id", "display_name", "mime_type", "category", "tags"]
+    if "indexed" in base.columns:
+        fields.append("indexed")
 
     qtoks = _analyze_py(q.text, cfg.remove_stop_words) if q.text else []
     terms = _required_terms(q.required)
+
+    df = prepare_search_index(base, cfg) if analyzed_per_query else base
+
+    clauses: list[Column] = []
+    score: Column = F.lit(0.0)
     idf: dict[str, float] = {}
     avgdl = 1.0
     if cfg.scoring in ("tfidf", "bm25") and (qtoks or terms):
         # one corpus pass for N + df (+ avgdl for bm25), folded into
         # literals (bleve reads the same stats from the index dictionary
-        # per query)
+        # per query). Stats are CORPUS-GLOBAL — computed over the
+        # unfiltered table, exactly like an index dictionary, never over
+        # the meta-filtered subset.
+        stats_df = (
+            prepare_search_index(extracted, cfg)
+            if analyzed_per_query else extracted
+        )
         n_docs, dfs, avgdl = _corpus_term_stats_avgdl(
-            df, sorted({*qtoks, *terms})
+            stats_df, sorted({*qtoks, *terms})
         )
         if cfg.scoring == "bm25":
             idf = {t: _bm25_idf(c, n_docs) for t, c in dfs.items()}
@@ -493,35 +536,54 @@ def search(
             # never match (bleve boolean query with no clauses)
             clauses.append(F.lit(False))
 
-    if q.tags:
-        clauses.append(
-            exists_u(
-                F.col("tags"),
-                lambda t: _exact_in(t, q.tags),
+    if clauses:
+        cond = clauses[0]
+        for c in clauses[1:]:
+            cond = cond & c
+        if analyzed_per_query:
+            # Evaluate the token clauses against a MATERIALIZED
+            # projection (r06): with the plain filter-above-project
+            # shape the optimizer pushes the condition below the tokens
+            # projection by re-inlining the analyzer into it, and
+            # lambda-bearing expressions are excluded from both CSE and
+            # codegen subexpression elimination — so the full
+            # tokenization ran once in the Filter and again in the
+            # scoring Project (2x per row, measured in the plan). The
+            # barrier is a no-op CollectMetrics node (`observe`):
+            # PushPredicateThroughNonJoin does not push filters through
+            # it, and it costs one count accumulator (verified on Spark
+            # 4.1 — non-deterministic dummy columns get column-pruned
+            # and `rand() < 0` gets constant-folded, so neither works
+            # as a barrier). Deterministic, retry-safe, no row change.
+            # Stored-tokens tables skip the barrier: their tokens are
+            # scan columns, and blocking pushdown there would cost the
+            # scan its PushedFilters.
+            import uuid as _uuid
+
+            pre = df.select(
+                *fields,
+                score.cast("double").alias("score"),
+                cond.alias("__keep"),
+            ).observe(
+                f"lens_search_barrier_{_uuid.uuid4().hex[:12]}",
+                F.count(F.lit(1)).alias("rows_scored"),
             )
-        )
-    if q.categories:
-        clauses.append(_exact_in(F.col("category"), q.categories))
-    if q.mime_types:
-        clauses.append(_exact_in(F.col("mime_type"), q.mime_types))
-    if q.hashes:
-        clauses.append(F.col("doc_id").isin(list(q.hashes)))
+            topk = pre.filter(F.col("__keep")).select(*fields, "score")
+        else:
+            topk = df.filter(cond).select(
+                *fields, score.cast("double").alias("score")
+            )
+    else:
+        # metadata-only query: every clause already applied below
+        topk = df.select(*fields, score.cast("double").alias("score"))
+    return _finish_topk(topk, fields, cfg)
 
-    cond = clauses[0]
-    for c in clauses[1:]:
-        cond = cond & c
 
-    # Q8 projection: all metadata fields except content (engine.go:177,
-    # index.go:20-26) — includes `indexed` (properties.indexed,
-    # engine/index.go:36-38) when the table carries it; tolerate tables
-    # written by pre-`indexed` versions of the engine.
-    fields = ["doc_id", "display_name", "mime_type", "category", "tags"]
-    if "indexed" in df.columns:
-        fields.append("indexed")
+def _finish_topk(scored: DataFrame, fields: list,
+                 cfg: SearchConfig) -> DataFrame:
+    """Shared top-k tail: order, limit, optional max-score normalize."""
     topk = (
-        df.filter(cond)
-        .select(*fields, score.cast("double").alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(cfg.top_k)
     )
     if cfg.normalize_max_score:

@@ -360,7 +360,7 @@ def test_prepared_index_skips_reanalysis(spark, indexed, tmp_path):
     b = [(r["doc_id"], r["score"]) for r in search(prepared, q).collect()]
     assert a == b
     plan = formatted_plan(search(prepared, q))
-    assert "split(" not in plan  # no re-tokenization at query time
+    assert "regexp_extract_all(" not in plan  # no re-tokenization at query time
 
 
 def test_analyzer_version_guard(spark, indexed, tmp_path):
@@ -378,13 +378,13 @@ def test_analyzer_version_guard(spark, indexed, tmp_path):
     stored = spark.read.parquet(path)
     assert stored.select("analyzer_version").first()[0] == ANALYZER_VERSION
     q = Query(required=["storage words"])
-    assert "split(" not in formatted_plan(search(stored, q))
+    assert "regexp_extract_all(" not in formatted_plan(search(stored, q))
 
     # stale stamp → re-analyzed (tokenizer back in the plan) + warning
     stale = stored.withColumn("analyzer_version", F.lit(1))
     with pytest.warns(UserWarning, match="analyzer"):
         plan_stale = formatted_plan(search(stale, q))
-    assert "split(" in plan_stale
+    assert "regexp_extract_all(" in plan_stale
     with pytest.warns(UserWarning):
         a = [r["doc_id"] for r in search(stale, q).collect()]
     assert a == [r["doc_id"] for r in search(indexed, q).collect()]
@@ -394,7 +394,7 @@ def test_analyzer_version_guard(spark, indexed, tmp_path):
     legacy = stored.drop("analyzer_version")
     with pytest.warns(UserWarning, match="analyzer"):
         plan_legacy = formatted_plan(search(legacy, q))
-    assert "split(" in plan_legacy
+    assert "regexp_extract_all(" in plan_legacy
 
 
 def test_export_postings_tf_df_and_cap(spark):
