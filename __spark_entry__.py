@@ -2072,7 +2072,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_col="ts", every_seconds=3600, by=["user_id"],
             measure="vc",
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # ADVICE r5 (low): an un-drained stream would return a
+            # partially-folded table — fail loudly as a timeout, not
+            # as a spurious oracle mismatch
+            q.stop()
+            raise TimeoutError(
+                "stream_rollup availableNow drain exceeded 300s"
+            )
         return (
             t.read(spark)
             .select(

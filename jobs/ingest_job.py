@@ -132,16 +132,28 @@ def run(
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    use_robots = "--no-robots" not in sys.argv
+    # index-based parse (ADVICE r5, low): the old value-based removal
+    # dropped any positional that happened to EQUAL a flag's value
+    argv = sys.argv[1:]
+    args: list[str] = []
+    use_robots = True
     agent = "*"
-    if "--agent" in sys.argv:
-        agent = sys.argv[sys.argv.index("--agent") + 1]
-        args = [a for a in args if a != agent]
     since = None
-    if "--since" in sys.argv:
-        since = sys.argv[sys.argv.index("--since") + 1]
-        args = [a for a in args if a != since]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--no-robots":
+            use_robots = False
+            i += 1
+        elif a == "--agent":
+            agent = argv[i + 1]
+            i += 2
+        elif a == "--since":
+            since = argv[i + 1]
+            i += 2
+        else:
+            args.append(a)
+            i += 1
     src, out = args[0], args[1]
     spark = SparkSession.builder.appName("lens-ingest").getOrCreate()
 

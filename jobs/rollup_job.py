@@ -67,20 +67,19 @@ def run(
         from lens_spark.streaming.stream import stream_rollup
 
         schema = spark.read.parquet(src).schema
-        if cents:
-            # quantize at the source: stage a cents view the stream
-            # reads (stream_rollup folds the measure column as-is)
-            staged = os.path.join(out, "_staged_src")
-            prep(spark.read.parquet(src)).write.mode(
-                "overwrite"
-            ).parquet(staged)
-            src = staged
-            schema = spark.read.parquet(src).schema
+        # --cents quantizes INSIDE each micro-batch (stream_rollup's
+        # `prepare` hook). The old approach — re-staging a quantized
+        # copy under out/_staged_src with mode=overwrite — minted fresh
+        # part-file names on every invocation, so each cron rerun
+        # re-read the ENTIRE history as new batches with new batch ids
+        # (past the hwm guard) and double-counted it into the
+        # non-idempotent fold (ADVICE r5, high).
         q = stream_rollup(
             spark, src, table,
             os.path.join(out, "checkpoint"), schema,
             ts_col=ts_col, every_seconds=every, by=by,
             measure=measure,
+            prepare=prep if cents else None,
         )
         q.awaitTermination()
         mode = "stream"
@@ -108,15 +107,30 @@ def run(
 def main() -> None:
     argv = sys.argv[1:]
 
-    def opt(name, default=None):
-        if name in argv:
-            return argv[argv.index(name) + 1]
-        return default
+    # index-based parse (ADVICE r5, low): the old value-set exclusion
+    # dropped any positional that happened to EQUAL a flag value (or
+    # the literal '3600' even with --every absent)
+    VALUE_FLAGS = ("--every", "--by", "--measure", "--ts-col")
+    BOOL_FLAGS = ("--cents", "--stream")
+    pos: list[str] = []
+    opts: dict[str, str] = {}
+    flags: set[str] = set()
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in VALUE_FLAGS:
+            opts[a] = argv[i + 1]
+            i += 2
+        elif a in BOOL_FLAGS:
+            flags.add(a)
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
 
-    flags = {a for a in argv if a.startswith("--")}
-    vals = {opt("--every", "3600"), opt("--by"), opt("--measure"),
-            opt("--ts-col")} - {None}
-    pos = [a for a in argv if not a.startswith("--") and a not in vals]
+    def opt(name, default=None):
+        return opts.get(name, default)
+
     src, out = pos[0], pos[1]
     spark = SparkSession.builder.appName("lens-rollup").getOrCreate()
     r = run(

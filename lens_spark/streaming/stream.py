@@ -217,23 +217,35 @@ def stream_rollup(
     by: list[str] | None = None,
     measure: str = "value",
     trigger_once: bool = True,
+    prepare=None,
 ):
     """Streaming continuous aggregate: parquet-dir source →
     foreachBatch(rollup_increment + rollup_maintain) — the hypertable
     pattern fed by a stream (operators/rollup.py owns the fold).
+
+    ``prepare`` (optional) is a DataFrame→DataFrame transform applied
+    to every micro-batch before the fold (e.g. rollup_job's --cents
+    quantization). Applying it HERE instead of re-staging a
+    transformed copy of the source keeps the file-stream checkpoint
+    stable: a re-staged overwrite mints fresh part-file names every
+    run, which the checkpoint has never seen, so each rerun re-reads
+    the full history as new batches with new batch ids — past the hwm
+    guard and straight into the non-idempotent fold (ADVICE r5, high).
 
     rollup folds are NOT idempotent (re-folding double-counts — the
     module contract), and foreachBatch REDELIVERS a batch after a
     mid-batch failure. The guard is a batch-id high-water mark stored
     next to the table (`_rollup_hwm` — single-writer, same trust
     model as the stream's own checkpoint dir): a redelivered batch_id
-    ≤ hwm is skipped, so fold-then-crash-then-redeliver cannot
-    double-count. The window between MERGE-commit and hwm-write is
-    crash-safe because both are ordered: hwm writes AFTER the fold
-    commits, so a crash between them redelivers and re-folds — the
-    one at-least-once residue — which the guard then converts to
-    at-most-once-per-hwm; operators needing stronger semantics key
-    their increments (M3's queue contract)."""
+    ≤ hwm is skipped. KNOWN WINDOW (ADVICE r5, medium): the hwm is
+    written in a separate file write AFTER the MERGE commits; a crash
+    BETWEEN the two redelivers the batch with the hwm still at its old
+    value, and the re-fold double-counts — the guard bounds
+    redelivery to at-most-once-per-committed-hwm, it does NOT make the
+    fold exactly-once. Converting it would require committing the
+    batch id atomically inside the LensTable snapshot manifest (the
+    Delta txn-version pattern); operators needing stronger semantics
+    key their increments (M3's queue contract)."""
     import os as _os
 
     from lens_spark.operators.rollup import (
@@ -259,6 +271,8 @@ def stream_rollup(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _hwm() or batch_df.isEmpty():
             return
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         rollup_maintain(
             table,
             rollup_increment(

@@ -170,3 +170,12 @@ def test_rollup_job_run_batch_and_stream(spark, tmp_path):
         for r in LensTable(f"{out_s}/rollup").read(spark).collect()
     }
     assert ba == st
+
+    # ADVICE r5 (high): re-running the SAME --stream --cents invocation
+    # (the documented cron usage) must be a no-op — the old restage-
+    # per-run approach minted fresh part files each run, so the
+    # checkpoint re-read the whole history and double-counted it
+    rs2 = job.run(spark, src, out_s, every=3600, by=["user_id"],
+                  measure="value", cents=True, stream=True)
+    assert rs2["total_n"] == 200, "stream rerun double-counted"
+    assert rs2["cells"] == rs["cells"]
