@@ -159,18 +159,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_search_phrase(spark, sf):
-        # Q2: adjacency phrase match 'the fast' over analyzed tokens
+        # Q2: adjacency phrase match 'the fast' over analyzed tokens.
+        # The token array is LET-BOUND (hof.let_u, r06): the exists
+        # lambda references it twice per position, and a naked analyze()
+        # subtree there is re-evaluated per element (HOF lambdas get no
+        # CSE) — the whole-document tokenizer regex ran O(positions)
+        # times per doc. Same rows, same oracle.
+        from lens_spark.functions.hof import let_u
+
         d = _docs(spark, sf)
-        toks = analyze(F.col("text"))
+
         # size guard first: under ANSI mode (Spark 4 default) element_at
         # on an out-of-range index aborts the job, and the sequence below
         # clamps to [1,1] even for 0/1-token docs — same guard as
         # operators/search.py:_phrase_clause ("bad rows never kill the job")
-        phrase = (F.size(toks) >= 2) & exists_u(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: (F.element_at(toks, i) == "the")
-            & (F.element_at(toks, i + 1) == "fast"),
-        )
+        def _phrase(toks):
+            return (F.size(toks) >= 2) & exists_u(
+                F.sequence(F.lit(1),
+                           F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: (F.element_at(toks, i) == "the")
+                & (F.element_at(toks, i + 1) == "fast"),
+            )
+
+        phrase = let_u(analyze(F.col("text")), _phrase)
         return d.select("doc_id").filter(phrase).orderBy("doc_id")
 
     def q_search_filters(spark, sf):

@@ -52,26 +52,36 @@ def ngram_buckets(col: Column, dim: int = 512) -> Column:
     the normalized tokens of ``col`` — one entry PER OCCURRENCE, the
     multiset the bag-multinomial counts. Normalization = lowercase +
     Greek final-sigma fold (the classifier/analyzer-v3 rule, so md5
-    buckets are engine-identical). NULL/empty text → empty array."""
-    toks = ws_tokens(F.translate(F.lower(col), "ς", "σ"))
-    unis = transform_u(toks, lambda t: hash_bucket(t, dim))
-    n = F.size(toks)
-    # slice guards: slice(toks, 2, n-1) with n < 2 would ask for a
-    # negative length (ANSI error) — gate on n >= 2
-    bis = F.when(
-        n >= 2,
-        transform_u(
-            zip_with_u(
-                F.slice(toks, 1, n - 1),
-                F.slice(toks, 2, n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+    buckets are engine-identical). NULL/empty text → empty array.
+
+    The token array is let-bound (hof.let_u, r06) so the tokenizer runs
+    once per row instead of once per reference (four references here;
+    HOF-containing expressions are interpreted with no CSE)."""
+    from lens_spark.functions.hof import let_u
+
+    def _buckets(toks):
+        unis = transform_u(toks, lambda t: hash_bucket(t, dim))
+        n = F.size(toks)
+        # slice guards: slice(toks, 2, n-1) with n < 2 would ask for a
+        # negative length (ANSI error) — gate on n >= 2
+        bis = F.when(
+            n >= 2,
+            transform_u(
+                zip_with_u(
+                    F.slice(toks, 1, n - 1),
+                    F.slice(toks, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+                lambda g: hash_bucket(g, dim),
             ),
-            lambda g: hash_bucket(g, dim),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.concat(unis, bis)
+
     return F.when(
         col.isNull(), F.array().cast("array<bigint>")
-    ).otherwise(F.concat(unis, bis))
+    ).otherwise(
+        let_u(ws_tokens(F.translate(F.lower(col), "ς", "σ")), _buckets)
+    )
 
 
 def _bucket_counts(

@@ -60,6 +60,23 @@ def transform_u(col: Column, func) -> Column:
     return _invoke("transform", col, _lambda(func, 1))
 
 
+def let_u(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE per row and
+    hand it to ``body`` as a bound lambda variable.
+
+    Why this exists (r06): a subexpression referenced inside a
+    higher-order-function lambda is re-evaluated on EVERY element —
+    lambda-bearing expressions are excluded from Catalyst CSE and
+    codegen subexpression elimination — so e.g. a tokenizer feeding a
+    per-position scan silently turns O(n) into O(n²) per row (measured:
+    doc_winnow 278 s → 1.9 s at sf0.1). Binding the value through a
+    single-element ``transform`` makes every inner reference a lambda
+    VARIABLE lookup. Values are bit-identical; this also survives
+    filter pushdown (the binding travels inside the expression), unlike
+    materializing a column, which pushdown re-inlines."""
+    return F.element_at(transform_u(F.array(value), body), 1)
+
+
 def filter_u(col: Column, func) -> Column:
     return _invoke("filter", col, _lambda(func, 1))
 

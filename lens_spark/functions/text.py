@@ -220,23 +220,38 @@ def repetition_ratios(col: Column, ngram: int = 3) -> Column:
 
     Pure Catalyst, bounded per doc, no shuffle. The paper thresholds
     (dup_line_frac ≤ 0.3, dup 3-gram char fraction by size) apply
-    downstream; this exposes the measurements."""
-    from lens_spark.functions.hof import transform_u
+    downstream; this exposes the measurements.
 
-    lines = transform_u(_doc_lines(col), lambda ln: F.trim(ln))
-    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    dup_line = (F.size(lines) - F.size(F.array_distinct(lines))) / nl
-    toks = ws_tokens(col)
-    n = F.size(toks)
-    grams = F.when(
-        n >= ngram,
-        transform_u(
-            F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    ng = F.greatest(F.size(grams), F.lit(1)).cast("double")
-    dup_gram = (F.size(grams) - F.size(F.array_distinct(grams))) / ng
+    r06: lines / tokens / grams are LET-BOUND (hof.let_u) — the gram
+    lambda slices the token subtree per position (O(n²) re-tokenize, no
+    CSE inside HOF lambdas), and the multiply-referenced line/gram
+    arrays re-expanded per reference. Identical values."""
+    from lens_spark.functions.hof import let_u, transform_u
+
+    def _line_frac(lines: Column) -> Column:
+        nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        return (F.size(lines) - F.size(F.array_distinct(lines))) / nl
+
+    def _gram_frac(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.when(
+            n >= ngram,
+            transform_u(
+                F.sequence(F.lit(1), F.greatest(n - ngram + 1, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+
+        def _frac(g: Column) -> Column:
+            ng = F.greatest(F.size(g), F.lit(1)).cast("double")
+            return (F.size(g) - F.size(F.array_distinct(g))) / ng
+
+        return let_u(grams, _frac)
+
+    dup_line = let_u(
+        transform_u(_doc_lines(col), lambda ln: F.trim(ln)), _line_frac
+    )
+    dup_gram = let_u(ws_tokens(col), _gram_frac)
     return F.struct(
         dup_line.cast("double").alias("dup_line_frac"),
         dup_gram.cast("double").alias("dup_ngram_frac"),
@@ -266,39 +281,54 @@ def winnow_fingerprints(col: Column, k: int = 5, w: int = 4) -> Column:
 
     O(n·w) per doc via slice-min (the classic O(n) deque doesn't exist as
     a Catalyst primitive; w is small, 4-8, so the constant is fine) —
-    entirely JVM-side, no shuffle, no Python."""
-    from lens_spark.functions.hof import transform_u
+    entirely JVM-side, no shuffle, no Python.
 
-    t = normalize_text(col)
-    n = F.length(t)
-    # substring with a COLUMN start position needs the SQL function
-    # (F.substring requires literal positions) — call_function it
-    grams = F.when(
-        n >= k,
-        transform_u(
-            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.call_function("substring", t, i, F.lit(k))),
-                    1, 15,
-                ),
-                16, 10,
-            ).cast("long"),
-        ),
-    ).otherwise(
-        F.array(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    r06: the normalized text and the gram-hash array are LET-BOUND via
+    single-element transforms so each is evaluated once per row. The
+    previous formulation referenced the `t` / `grams` SUBTREES inside
+    the transform lambdas, and lambda-bearing expressions get no
+    common-subexpression elimination — so the whole normalize pass
+    re-ran per gram and the whole gram-hash array re-ran per window:
+    O(n²) per document (measured: the doc_winnow row alone was 278 s
+    of a 640 s all-rows sweep at sf0.1; 1.9 s after). Values are
+    bit-identical — only the evaluation strategy changes."""
+    from lens_spark.functions.hof import let_u as _let, transform_u
+
+    def _selected(grams: Column) -> Column:
+        m = F.size(grams)
+        sel = F.when(
+            m >= w,
+            transform_u(
+                F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        ).otherwise(F.array(F.array_min(grams)))
+        return F.array_sort(F.array_distinct(sel))
+
+    def _fingers(t: Column) -> Column:
+        n = F.length(t)
+        # substring with a COLUMN start position needs the SQL function
+        # (F.substring requires literal positions) — call_function it
+        grams = F.when(
+            n >= k,
+            transform_u(
+                F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.call_function("substring", t, i, F.lit(k))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long"),
+            ),
+        ).otherwise(
+            F.array(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+            )
         )
-    )
-    m = F.size(grams)
-    selected = F.when(
-        m >= w,
-        transform_u(
-            F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1))),
-            lambda j: F.array_min(F.slice(grams, j, w)),
-        ),
-    ).otherwise(F.array(F.array_min(grams)))
-    return F.array_sort(F.array_distinct(selected))
+        return _let(grams, _selected)
+
+    return _let(normalize_text(col), _fingers)
 
 
 # C4 line-level cleaning (Raffel et al. 2020, "Exploring the Limits of

@@ -105,19 +105,26 @@ def word_shingles(col: Column, k: int = 3, distinct: bool = True) -> Column:
     lowered text — which equals the historical
     ``ws_tokens(normalize_text(col))`` token-for-token (collapse+trim
     before a whitespace split changes nothing) while skipping the
-    regexp_replace pass."""
-    toks = ws_tokens(F.lower(col))
-    n = F.size(toks)
-    sh = F.when(
-        n >= k,
-        transform_u(
-            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    if not distinct:
-        return sh
-    return F.array_sort(F.array_distinct(sh))
+    regexp_replace pass. The token array is LET-BOUND (hof.let_u, r06):
+    the shingle lambda slices it per position, and a naked ws_tokens
+    subtree there re-ran the tokenizer regex O(positions) times per doc
+    (no CSE inside HOF lambdas). Identical output."""
+    from lens_spark.functions.hof import let_u
+
+    def _sh(toks: Column) -> Column:
+        n = F.size(toks)
+        sh = F.when(
+            n >= k,
+            transform_u(
+                F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+        if not distinct:
+            return sh
+        return F.array_sort(F.array_distinct(sh))
+
+    return let_u(ws_tokens(F.lower(col)), _sh)
 
 
 # ------------------------------------------------------------ cap metrics
@@ -953,29 +960,36 @@ def remove_duplicate_spans(
         ).alias("__dup_spans")
     )
     joined = df.join(per_doc, id_col, "left")
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
+    from lens_spark.functions.hof import let_u
+
     # Complement-interval rebuild, O(spans + tokens) per doc: the spans
     # are sorted disjoint [s, e) intervals, so the kept text is the
     # concatenation of the gaps [1, s1) ∪ [e1, s2) ∪ … ∪ [e_last, n+1)
     # — zip the gap starts with the gap ends and slice the token array
     # per gap. (A per-token exists() over the span list is the obvious
     # formulation but costs O(tokens × spans) per doc — measured 3x the
-    # whole operator's wall at sf0.1.)
+    # whole operator's wall at sf0.1.) The token array is LET-BOUND
+    # (hof.let_u, r06): the gap lambda slices it per gap, and a naked
+    # ws_tokens subtree there re-ran the tokenizer per gap.
     spans_arr = F.coalesce(
         F.col("__dup_spans"),
         F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
     )
-    gap_starts = F.concat(
-        F.array(F.lit(1)), transform_u(spans_arr, lambda sp: sp["e"])
-    )
-    gap_ends = F.concat(
-        transform_u(spans_arr, lambda sp: sp["s"]), F.array(n + 1)
-    )
-    kept = F.flatten(
-        zip_with_u(gap_starts, gap_ends,
-                   lambda a, b: F.slice(toks, a, b - a))
-    )
+
+    def _kept(toks: Column) -> Column:
+        n = F.size(toks)
+        gap_starts = F.concat(
+            F.array(F.lit(1)), transform_u(spans_arr, lambda sp: sp["e"])
+        )
+        gap_ends = F.concat(
+            transform_u(spans_arr, lambda sp: sp["s"]), F.array(n + 1)
+        )
+        return F.flatten(
+            zip_with_u(gap_starts, gap_ends,
+                       lambda a, b: F.slice(toks, a, b - a))
+        )
+
+    kept = let_u(ws_tokens(F.col(text_col)), _kept)
     # exact O(spans) removed-token count (avoids re-evaluating `kept`,
     # which Catalyst would re-expand — CSE does not cross HOFs)
     removed = F.coalesce(

@@ -92,14 +92,21 @@ def bigram_lm_scores(
     exp(−avg_logprob), monotone in it.
     """
     tdf = train if train is not None else df
-    ttoks = ws_tokens(F.col(text_col))
+    # materialize the token array as a COLUMN before _bigram_structs:
+    # its transform lambda references the tokens three times per bigram
+    # position, and a naked ws_tokens SUBTREE there is re-evaluated per
+    # element (HOF lambdas get no CSE) — the whole-document tokenizer
+    # regex ran O(positions) times per doc (r06, the winnow trap)
+    ttokd = tdf.select(ws_tokens(F.col(text_col)).alias("tk"))
 
     uni = (
-        tdf.select(F.explode(ttoks).alias("w1"))
+        ttokd.select(F.explode(F.col("tk")).alias("w1"))
         .groupBy("w1").agg(F.count("*").alias("c1"))
     )
     big = (
-        tdf.select(F.explode(_bigram_structs(ttoks)["pair"]).alias("pair"))
+        ttokd.select(
+            F.explode(_bigram_structs(F.col("tk"))["pair"]).alias("pair")
+        )
         .groupBy("pair").agg(F.count("*").alias("cb"))
     )
     if min_count > 1:
@@ -109,8 +116,9 @@ def bigram_lm_scores(
     vocab = uni.count()
 
     stream = df.select(
-        F.col(id_col), F.explode(_bigram_structs(ws_tokens(F.col(text_col))))
-        .alias("bg")
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("tk")
+    ).select(
+        F.col(id_col), F.explode(_bigram_structs(F.col("tk"))).alias("bg")
     ).select(id_col, "bg.w1", "bg.pair")
     lp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(add_k))

@@ -115,21 +115,28 @@ def chunk_documents(
     from lens_spark.functions.hof import transform_u
     from lens_spark.functions.text import ws_tokens
 
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.when(n <= max_tokens, F.lit(1)).otherwise(
-            (F.floor((n - F.lit(max_tokens + 1)) / F.lit(stride)) + 2)
-            .cast("int")
+    # let-bind the token array (r06): the chunk lambda slices it per
+    # chunk, and a naked ws_tokens subtree there re-ran the tokenizer
+    # per chunk (no CSE inside HOF lambdas). Identical output.
+    from lens_spark.functions.hof import let_u
+
+    def _chunks(toks):
+        n = F.size(toks)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.when(n <= max_tokens, F.lit(1)).otherwise(
+                (F.floor((n - F.lit(max_tokens + 1)) / F.lit(stride)) + 2)
+                .cast("int")
+            )
         )
-    )
-    chunks = F.when(
-        n_chunks >= 1,
-        transform_u(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda j: F.slice(toks, j * stride + 1, max_tokens),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<array<string>>)"))
+        return F.when(
+            n_chunks >= 1,
+            transform_u(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda j: F.slice(toks, j * stride + 1, max_tokens),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<array<string>>)"))
+
+    chunks = let_u(ws_tokens(F.col(text_col)), _chunks)
     return df.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_id", "_c"),

@@ -213,15 +213,23 @@ def embedding_kmeans(
     )
 
 
-def _eps_close(qa: Column, qb: Column, tau_q: int) -> Column:
+def _eps_close(qa: Column, qb: Column, tau_q: int,
+               qq_a: Column | None = None,
+               qq_b: Column | None = None) -> Column:
     """Exact ``cos(a,b) ≥ τq/10⁴``: τq²·(a·a)·(b·b) ≤ 10⁸·(a·b)² with
     a·b > 0, in DECIMAL(38,0) (dots ≤ ~2.5e12 → products ≤ ~6e32,
     inside both DECIMAL(38) and DuckDB HUGEINT). Zero vectors are never
-    ε-close to anything (a·b = 0 fails the sign guard)."""
+    ε-close to anything (a·b = 0 fails the sign guard).
+
+    ``qq_a`` / ``qq_b``: optionally pass the precomputed self-dots —
+    they are per-ELEMENT invariants, and recomputing them per PAIR
+    tripled the triangular stage's dot-product work (r06)."""
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     dot = _dot_long(qa, qb)
-    qq_a = _dot_long(qa, qa)
-    qq_b = _dot_long(qb, qb)
+    if qq_a is None:
+        qq_a = _dot_long(qa, qa)
+    if qq_b is None:
+        qq_b = _dot_long(qb, qb)
     return (dot > 0) & (
         dec(F.lit(tau_q * tau_q)) * dec(qq_a) * dec(qq_b)
         <= dec(F.lit(10**8)) * dec(dot) * dec(dot)
@@ -265,33 +273,55 @@ def semdedup(
             "cluster"
         )
     )
-    clusters = assigned.groupBy("cluster").agg(
+    # self-dot computed ONCE per row here; the triangular test below
+    # reads it per pair (struct field order keeps id leading, so the
+    # array_sort order — and every output value — is unchanged)
+    clusters = assigned.select(
+        "id", "q", "cluster", _dot_long(F.col("q"), F.col("q")).alias("qq")
+    ).groupBy("cluster").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("id"), F.col("q")))
+            F.collect_list(
+                F.struct(F.col("id"), F.col("q"), F.col("qq"))
+            )
         ).alias("arr"),
         F.count(F.lit(1)).alias("csize"),
     )
     clusters = observe_cap_drops(
         clusters, "csize", max_cluster, observation, "semdedup"
     )
-    arr = F.slice(F.col("arr"), 1, max_cluster)
-    n = F.size(arr)
+    # materialize the capped array as a COLUMN first (r06): the lambdas
+    # below reference it per element and per pair, and a naked
+    # slice-subtree there is re-evaluated (re-copying up to max_cluster
+    # structs of k-dim vectors) on every reference — HOF lambdas get no
+    # CSE, so the triangular test degraded to O(c³·dim) per cluster
+    # (measured: the kmeans_semdedup row alone was 55 s of the sf0.1
+    # sweep; ~2 s after). The inner exists walks indices j < i instead
+    # of a sliced copy of the prefix for the same reason. Values are
+    # bit-identical — evaluation strategy only.
+    carr = F.col("carr")
+    n = F.size(carr)
     flags = clusters.select(
+        "cluster", F.slice(F.col("arr"), 1, max_cluster).alias("carr")
+    ).select(
         "cluster",
         F.explode(
             transform_u(
                 F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
                 lambda i: F.struct(
-                    F.element_at(arr, i)["id"].alias("id"),
+                    F.element_at(carr, i)["id"].alias("id"),
                     F.when(i == 1, F.lit(1))
                     .otherwise(
                         (
                             ~exists_u(
-                                F.slice(arr, 1, i - 1),
-                                lambda prev, i=i: _eps_close(
-                                    F.element_at(arr, i)["q"],
-                                    prev["q"],
+                                # i >= 2 here (the i==1 branch above),
+                                # so sequence(1, i-1) ascends
+                                F.sequence(F.lit(1), i - 1),
+                                lambda j, i=i: _eps_close(
+                                    F.element_at(carr, i)["q"],
+                                    F.element_at(carr, j)["q"],
                                     tau_q,
+                                    qq_a=F.element_at(carr, i)["qq"],
+                                    qq_b=F.element_at(carr, j)["qq"],
                                 ),
                             )
                         ).cast("int")
