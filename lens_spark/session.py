@@ -30,7 +30,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow everywhere — pandas UDFs are the only Python in hot paths.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 8192-row batches: fewer JVM↔Python crossings (extract A/B r06:
+        # 4.19 s → 3.76 s at sf1.0, −8 user-cpu-s). Safe for fat payload
+        # rows because Spark 4's arrow.maxBytesPerBatch (default 64 MiB)
+        # bounds the batch by BYTES regardless of the record cap, and
+        # the extract UDF re-batches by cfg.max_batch_bytes besides.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         # 128 MiB input splits: good parquet scan granularity at 100 TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("LENS_DRIVER_MEM", "8g"))
